@@ -1,0 +1,103 @@
+"""Checkpoint save/load with the reference's auto-detect contract.
+
+The reference persists ``{step, model_state, optimizer_state[, model_type]}``
+torch dicts and detects the architecture from the ``model_type`` key at load
+(ref: synthesizer/train.py:445-463, vocoder/train.py:308-324,
+synthesizer/inference.py:59-62). Here the same contract is kept over a
+msgpack-serialized pytree (flax.serialization): ``{step, model_type, params,
+opt_state, extras}``, one file, plus rolling-save/immutable-backup helpers
+(ref cadence: encoder/train.py:133-150).
+
+Torch ``.pt`` checkpoints from the reference load transparently through the
+per-model importers (``rtvc_tpu.models.*.import_torch_state``) — the
+migration path for existing users.
+"""
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import numpy as np
+from flax import serialization
+
+MAGIC = b"RTVCTPU1"
+
+
+def _to_numpy_tree(tree: Any) -> Any:
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str | Path,
+    params: Any,
+    step: int,
+    model_type: Optional[str] = None,
+    opt_state: Any = None,
+    extras: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Atomically write a checkpoint file."""
+    path = Path(path)
+    payload = {
+        "meta": json.dumps(
+            {"step": int(step), "model_type": model_type, "format": 1}
+        ),
+        "params": _to_numpy_tree(params),
+        "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
+        "extras": _to_numpy_tree(extras) if extras is not None else {},
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    tmp.parent.mkdir(parents=True, exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(blob)
+    tmp.replace(path)
+
+
+def load_checkpoint(path: str | Path) -> Dict[str, Any]:
+    """Load a checkpoint → dict with step / model_type / params / opt_state /
+    extras. Reference torch ``.pt`` files are detected and returned as
+    ``{"torch_state": state_dict, "step": ..., "model_type": ...}`` for the
+    caller to run through a model importer."""
+    path = Path(path)
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC))
+        if head == MAGIC:
+            payload = serialization.msgpack_restore(f.read())
+            meta = json.loads(payload["meta"])
+            return {
+                "step": meta["step"],
+                "model_type": meta.get("model_type"),
+                "params": payload["params"],
+                "opt_state": payload.get("opt_state") or None,
+                "extras": payload.get("extras") or {},
+            }
+    # Fall back to a torch checkpoint from the reference framework.
+    import torch
+
+    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    state = {
+        k: v.numpy() if hasattr(v, "numpy") else v
+        for k, v in ckpt.get("model_state", {}).items()
+    }
+    return {
+        "step": int(ckpt.get("step", 0)),
+        "model_type": ckpt.get("model_type"),
+        "params": None,
+        "opt_state": None,
+        "extras": {},
+        "torch_state": state,
+    }
+
+
+def backup_checkpoint(path: str | Path, backup_dir: str | Path, step: int) -> Path:
+    """Immutable snapshot copy (ref backup_every, encoder/train.py:139-146)."""
+    path, backup_dir = Path(path), Path(backup_dir)
+    backup_dir.mkdir(parents=True, exist_ok=True)
+    dest = backup_dir / f"{path.stem}_{step:09d}{path.suffix}"
+    shutil.copyfile(path, dest)
+    return dest
