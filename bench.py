@@ -1,0 +1,74 @@
+"""Benchmark: WaveRNN batched generation rate (the reference's headline
+metric — kHz generated per wall-second / real-time factor,
+ref instruments: vocoder/models/fatchord_version.py:234-236,262-265;
+toolbox/toolbox.py:293-298).
+
+Measures the full user-facing path (upsample → fold → AR scan → unfold →
+mu-law decode → de-emphasis) on a ~5 s utterance with the production
+runtimeracer configuration, after a compile warmup.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value
+is kHz of output audio per wall-second and vs_baseline is the real-time
+factor against 22.05 kHz (north star: ≥10× RT on one TPU core;
+BASELINE.json publishes no reference numbers).
+
+NB: timings force a device→host transfer (np.asarray) because
+block_until_ready does not reliably block on the axon TPU platform.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+
+    from rtvc_tpu.config.vocoder import wavernn_runtimeracer as cfg
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.models.wavernn import wavernn_generate
+
+    bundle = factories.init_voc_model(factories.MODEL_TYPE_RUNTIMERACER, seed=0)
+    d = bundle.dims
+
+    # ~5 s of speech at 16 kHz: 400 mel frames → 79.8k samples out.
+    n_frames = 400
+    rng = np.random.default_rng(0)
+    mel = rng.uniform(-1.0, 1.0, (d.feat_dims, n_frames)).astype(np.float32)
+
+    def run(i):
+        return wavernn_generate(
+            bundle.variables, d, mel, jax.random.PRNGKey(i),
+            batched=True, target=cfg.gen_target, overlap=cfg.gen_overlap,
+            mu_law=cfg.mu_law, apply_preemphasis=True,
+        )
+
+    wav = run(0)  # warmup / compile
+    wave_len = len(wav)
+
+    times = []
+    for i in range(1, 4):
+        t0 = time.perf_counter()
+        wav = run(i)  # wavernn_generate returns numpy → implies full sync
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
+    khz = wave_len / dt / 1000.0
+    rtf_2205 = khz * 1000.0 / 22050.0
+
+    print(
+        json.dumps(
+            {
+                "metric": "wavernn_gen_rate_e2e",
+                "value": round(khz, 2),
+                "unit": "kHz",
+                "vs_baseline": round(rtf_2205, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,302 @@
+"""Synthesizer inference — public API surface (ref: synthesizer/inference.py).
+
+``Synthesizer`` class (lazy load, model type auto-detected from checkpoint)
+plus module-level ``load_model`` / ``synthesize_spectrograms`` /
+``load_preprocess_wav`` / ``make_spectrogram`` / ``griffin_lim``.
+
+TPU notes: char sequences are padded to 32-multiples and generation buffers
+have a static 2000-step cap, so repeated calls share a handful of compiled
+shapes. The postnet runs on frame buckets padded with the silence mel value
+(the same padding training uses).
+"""
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Callable, List, Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvc_tpu.config import preprocessing, sp
+from rtvc_tpu.config import synthesizer as _syn_cfg
+from rtvc_tpu.models import factories as base
+from rtvc_tpu.ops import audio as audio_ops
+from rtvc_tpu.text import text_to_sequence
+from rtvc_tpu.train.checkpoints import load_checkpoint
+from rtvc_tpu.utils.io import load_wav
+
+_CHAR_BUCKET = 32
+
+
+def pad1d(x, max_len, pad_value=0):
+    return np.pad(x, (0, max_len - len(x)), mode="constant", constant_values=pad_value)
+
+
+class Synthesizer:
+    """Lazy-loading synthesizer with the reference's surface
+    (ref: synthesizer/inference.py:13-162)."""
+
+    sample_rate = sp.sample_rate
+    hparams = sp
+
+    def __init__(self, model_fpath: Union[str, Path], verbose: bool = True):
+        self.model_fpath = Path(model_fpath)
+        self.verbose = verbose
+        self._model: Optional[base.SynModel] = None
+        self._model_type: Optional[str] = None
+        self._step = 0
+        self._r = 2
+        self._generate_fn = None
+
+    def is_loaded(self) -> bool:
+        return self._model is not None
+
+    def get_model_type(self) -> str:
+        if not self.is_loaded():
+            self.load()
+        return self._model_type
+
+    def load(self):
+        ckpt = load_checkpoint(self.model_fpath)
+        self._model_type = ckpt.get("model_type") or base.MODEL_TYPE_TACOTRON
+        self._step = ckpt["step"]
+        if ckpt.get("torch_state") is not None:
+            bundle = base.init_syn_model(self._model_type)
+            if self._model_type == base.MODEL_TYPE_TACOTRON:
+                from rtvc_tpu.models.tacotron import import_torch_state
+
+                variables = import_torch_state(ckpt["torch_state"], bundle.dims)
+            elif self._model_type == base.MODEL_TYPE_FORWARD_TACOTRON:
+                from rtvc_tpu.models.forward_tacotron import import_torch_state
+
+                variables = import_torch_state(ckpt["torch_state"], bundle.dims)
+            else:
+                raise NotImplementedError(
+                    "No torch importer for model type %s" % self._model_type
+                )
+            self._model = bundle._replace(variables=variables)
+            # reference stores r inside the decoder as a buffer
+            if "decoder.r" in ckpt["torch_state"]:
+                self._r = int(np.asarray(ckpt["torch_state"]["decoder.r"]))
+        else:
+            self._model = base.init_syn_model(
+                self._model_type, variables=ckpt["params"]
+            )
+            self._r = int(ckpt["extras"].get("r", 2))
+        if self.verbose:
+            print(
+                "Loaded synthesizer of model '%s' at path '%s'."
+                % (self._model_type, self.model_fpath.name)
+            )
+            print("Model has been trained to step %d." % self._step)
+
+    def load_bundle(self, bundle: base.SynModel, r: int = 2):
+        """Install an in-memory model (self-tests, benches)."""
+        self._model = bundle
+        self._model_type = bundle.model_type
+        self._r = r
+
+    # -- generation ---------------------------------------------------------
+
+    def synthesize_spectrograms(
+        self,
+        texts: List[str],
+        embeddings: Union[np.ndarray, List[np.ndarray]],
+        return_alignments: bool = False,
+        speed_modifier: float = 1.0,
+        pitch_function: Optional[Callable] = None,
+        energy_function: Optional[Callable] = None,
+        seed: int = 0,
+    ):
+        """texts + speaker embeddings → list of (80, Mi) mels
+        (ref: synthesizer/inference.py:79-162)."""
+        if not self.is_loaded():
+            self.load()
+
+        inputs = [
+            text_to_sequence(text.strip(), preprocessing.cleaner_names)
+            for text in texts
+        ]
+        if not isinstance(embeddings, list):
+            embeddings = [embeddings] if np.ndim(embeddings) == 1 else list(embeddings)
+
+        bs = preprocessing.synthesis_batch_size
+        batched_inputs = [inputs[i : i + bs] for i in range(0, len(inputs), bs)]
+        batched_embeds = [embeddings[i : i + bs] for i in range(0, len(embeddings), bs)]
+
+        specs, alignments = [], []
+        for i, batch in enumerate(batched_inputs, 1):
+            if self.verbose:
+                print(f"\n| Generating {i}/{len(batched_inputs)}")
+            text_lens = [len(t) for t in batch]
+            max_text_len = max(text_lens)
+            bucket_len = -(-max_text_len // _CHAR_BUCKET) * _CHAR_BUCKET
+            chars = np.stack([pad1d(t, bucket_len) for t in batch]).astype(np.int32)
+            speaker_embeds = np.stack(batched_embeds[i - 1]).astype(np.float32)
+
+            if self._model_type == base.MODEL_TYPE_TACOTRON:
+                mels, aligns = self._generate_tacotron(chars, speaker_embeds, seed)
+            else:
+                mels, aligns = self._generate_forward(
+                    chars, speaker_embeds, speed_modifier,
+                    pitch_function, energy_function, seed,
+                )
+            specs.extend(mels)
+            alignments.extend(aligns)
+
+        if self.verbose:
+            print("\n\nDone.\n")
+        return (specs, alignments) if return_alignments else specs
+
+    def _generate_tacotron(self, chars, speaker_embeds, seed):
+        from rtvc_tpu.models import tacotron as taco
+
+        d, variables = self._model.dims, self._model.variables
+        r = self._r
+        max_steps = (self._model.config.max_decoder_steps // r) * r
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _decode(variables, chars, embeds, key):
+            return taco.tacotron_generate(
+                variables, d, chars, embeds, r, key, max_steps=max_steps,
+                compute_linear=False,
+            )
+
+        mel_buf, _, attn, n = _decode(
+            variables, jnp.asarray(chars), jnp.asarray(speaker_embeds),
+            jax.random.PRNGKey(seed),
+        )
+        n = max(int(n), r)
+
+        # Postnet on a frame bucket padded with the silence mel value (same
+        # padding as training collate, ref: synthesizer_dataset.py:126-143).
+        bucket = -(-n // 128) * 128
+        mel_trim = np.full(
+            (mel_buf.shape[0], d.n_mels, bucket), -sp.max_abs_value, np.float32
+        )
+        mel_trim[:, :, :n] = np.asarray(mel_buf)[:, :, :n]
+        linear = np.asarray(self._postnet_jit(variables, jnp.asarray(mel_trim)))
+
+        # The reference returns the POSTNET output as the final mel
+        # (ref: synthesizer/inference.py:141 — `_, mels, alignments`).
+        mels, aligns = [], []
+        attn_np = np.asarray(attn)[:, : n // r, :]
+        for b in range(linear.shape[0]):
+            m = linear[b, :, :n]
+            # Trim trailing frames below the stop threshold
+            # (ref: synthesizer/inference.py:149-152).
+            end = m.shape[1]
+            while end > 1 and np.max(m[:, end - 1]) < self._model.config.stop_threshold:
+                end -= 1
+            mels.append(m[:, :end].astype(np.float32))
+            aligns.append(attn_np[b])
+        return mels, aligns
+
+    @functools.cached_property
+    def _postnet_jit(self):
+        from rtvc_tpu.models import tacotron as taco
+
+        d = self._model.dims
+
+        @jax.jit
+        def _run(variables, mel):
+            linear, _ = taco._postnet(variables, d, mel, False, None)
+            return jnp.swapaxes(linear, 1, 2)
+
+        return _run
+
+    def _generate_forward(
+        self, chars, speaker_embeds, speed_modifier, pitch_function,
+        energy_function, seed,
+    ):
+        from rtvc_tpu.models import forward_tacotron as ft
+
+        d, variables = self._model.dims, self._model.variables
+        mels, durs = ft.forward_generate(
+            variables, d, jnp.asarray(chars), jnp.asarray(speaker_embeds),
+            jax.random.PRNGKey(seed), alpha=1.0 / speed_modifier,
+            pitch_function=pitch_function, energy_function=energy_function,
+        )
+        out, aligns = [], []
+        for b in range(mels.shape[0]):
+            n = int(np.asarray(durs[b]).sum())
+            out.append(np.asarray(mels[b])[:, : max(n, 1)].astype(np.float32))
+            aligns.append(np.asarray(durs[b]))
+        return out, aligns
+
+
+# ---------------------------------------------------------------------------
+# Module-level API (ref: synthesizer/inference.py:165-235)
+# ---------------------------------------------------------------------------
+
+_model: Optional[Synthesizer] = None
+
+
+def load_model(weights_fpath, verbose: bool = True):
+    global _model
+    _model = Synthesizer(weights_fpath, verbose)
+    _model.load()
+
+
+def is_loaded() -> bool:
+    return _model is not None and _model.is_loaded()
+
+
+def get_model_type() -> str:
+    if not is_loaded():
+        raise Exception("Please load Synthesizer in memory before using it")
+    return _model.get_model_type()
+
+
+def synthesize_spectrograms(
+    texts: List[str],
+    embeddings: Union[np.ndarray, List[np.ndarray]],
+    return_alignments: bool = False,
+    speed_modifier: float = 1.0,
+    pitch_function=None,
+    energy_function=None,
+):
+    if not is_loaded():
+        raise Exception("Please load Synthesizer in memory before using it")
+    return _model.synthesize_spectrograms(
+        texts=texts,
+        embeddings=embeddings,
+        return_alignments=return_alignments,
+        speed_modifier=speed_modifier,
+        pitch_function=pitch_function,
+        energy_function=energy_function,
+    )
+
+
+def load_preprocess_wav(fpath) -> np.ndarray:
+    """Load + rescale like synthesizer training audio
+    (ref: synthesizer/inference.py:205-213)."""
+    wav, _ = load_wav(fpath, target_sr=sp.sample_rate)
+    if preprocessing.rescale:
+        wav = wav / np.abs(wav).max() * preprocessing.rescaling_max
+    return wav
+
+
+def make_spectrogram(fpath_or_wav: Union[str, Path, np.ndarray]) -> np.ndarray:
+    """Waveform/file → training-format mel
+    (ref: synthesizer/inference.py:216-225)."""
+    if isinstance(fpath_or_wav, (str, Path)):
+        wav = load_preprocess_wav(fpath_or_wav)
+    else:
+        wav = fpath_or_wav
+    return np.asarray(
+        audio_ops.melspectrogram(jnp.asarray(wav, jnp.float32), sp, preprocessing),
+        dtype=np.float32,
+    )
+
+
+def griffin_lim(mel: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Invert a training-format mel with Griffin-Lim
+    (ref: synthesizer/inference.py:228-233)."""
+    return np.asarray(
+        audio_ops.inv_mel_spectrogram(
+            jnp.asarray(mel, jnp.float32), sp, preprocessing, jax.random.PRNGKey(seed)
+        )
+    )

@@ -1,0 +1,134 @@
+"""Vocoder inference — public API surface (ref: vocoder/inference.py).
+
+``load_model`` / ``is_loaded`` / ``infer_waveform`` / ``set_seed`` with the
+same dual-backend dispatch: the JAX/XLA path (``voc_type='pytorch'`` kept as
+the compat name) and the native C++ engine (``voc_type='libwavernn'``,
+see rtvc_tpu/native)."""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from rtvc_tpu.config import signal as _sig
+from rtvc_tpu.config import vocoder as _voc_cfg
+from rtvc_tpu.models import factories as base
+from rtvc_tpu.models.wavernn import import_torch_state, wavernn_generate
+from rtvc_tpu.train.checkpoints import load_checkpoint
+
+_model: Optional[base.VocModel] = None
+_model_type: Optional[str] = None
+_cpp_model = None
+_seed: int = 0
+_gen_counter: int = 0
+
+
+def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bool = True):
+    """Load vocoder weights; model type auto-detected from the checkpoint
+    (ref: vocoder/inference.py:11-53)."""
+    global _model, _model_type, _cpp_model
+
+    if voc_type == base.VOC_TYPE_PYTORCH:
+        ckpt = load_checkpoint(weights_fpath)
+        _model_type = ckpt.get("model_type") or base.MODEL_TYPE_FATCHORD
+        if ckpt.get("torch_state") is not None:
+            bundle = base.init_voc_model(_model_type)
+            variables = import_torch_state(ckpt["torch_state"], bundle.dims)
+            _model = bundle._replace(variables=variables)
+        else:
+            _model = base.init_voc_model(_model_type, variables=ckpt["params"])
+            if isinstance(ckpt["params"], dict) and "params" not in ckpt["params"]:
+                # stored flat; wrap
+                _model = base.init_voc_model(
+                    _model_type,
+                    variables={"params": ckpt["params"], "batch_stats": ckpt["extras"].get("batch_stats", {})},
+                )
+        if verbose:
+            print(
+                "Loaded vocoder of model '%s' at path '%s'." % (_model_type, weights_fpath)
+            )
+            print("Model has been trained to step %d." % ckpt["step"])
+    elif voc_type == base.VOC_TYPE_CPP:
+        from rtvc_tpu.native import libwavernn
+
+        _cpp_model = libwavernn.Vocoder(weights_fpath, "runtimeracer-wavernn", verbose)
+        _cpp_model.load()
+        _model_type = voc_type
+        if verbose:
+            print(
+                "Loaded vocoder of model '%s' at path '%s'." % (_model_type, weights_fpath)
+            )
+    else:
+        raise NotImplementedError(
+            "Invalid vocoder of type '%s' provided. Aborting..." % voc_type
+        )
+
+
+def load_bundle(bundle: base.VocModel):
+    """Directly install an in-memory vocoder bundle (self-tests, benches)."""
+    global _model, _model_type
+    _model = bundle
+    _model_type = bundle.model_type
+
+
+def is_loaded() -> bool:
+    return _model is not None or _cpp_model is not None
+
+
+def infer_waveform(
+    mel: np.ndarray,
+    normalize: bool = True,
+    batched: bool = True,
+    target: Optional[int] = None,
+    overlap: Optional[int] = None,
+    progress_callback=None,
+) -> np.ndarray:
+    """Mel (synthesizer format, (80, T)) → waveform
+    (ref: vocoder/inference.py:59-95)."""
+    global _gen_counter
+    if _model is None and _cpp_model is None:
+        raise Exception("Please load Wave-RNN in memory before using it")
+
+    if _model_type == base.VOC_TYPE_CPP:
+        return _cpp_model.vocode_mel(
+            mel=mel, normalize=normalize, progress_callback=progress_callback
+        )
+
+    cfg = _model.config
+    if target is None:
+        target = cfg.gen_target
+    if overlap is None:
+        overlap = cfg.gen_overlap
+
+    sp = _sig.sp
+    if normalize:
+        mel = mel / sp.max_abs_value
+
+    _gen_counter += 1
+    key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
+    wav = wavernn_generate(
+        _model.variables,
+        _model.dims,
+        np.asarray(mel, dtype=np.float32),
+        key,
+        batched=batched,
+        target=target,
+        overlap=overlap,
+        mu_law=cfg.mu_law,
+        apply_preemphasis=sp.preemphasize,
+    )
+    if progress_callback is not None:
+        progress_callback(len(wav), len(wav), 1, 0.0)
+    return wav
+
+
+def set_seed(seed: int) -> None:
+    """Deterministic generation: same seed → same audio
+    (ref: vocoder/inference.py:97-101)."""
+    global _seed, _gen_counter
+    _seed = int(seed)
+    _gen_counter = 0
+    if _model_type == base.VOC_TYPE_CPP and _cpp_model is not None:
+        _cpp_model.setRandomSeed(seed)
