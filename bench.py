@@ -26,6 +26,10 @@ import numpy as np
 def main():
     import jax
 
+    from rtvc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from rtvc_tpu.config.vocoder import wavernn_runtimeracer as cfg
     from rtvc_tpu.models import factories
     from rtvc_tpu.models.wavernn import wavernn_generate

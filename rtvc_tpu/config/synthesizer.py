@@ -111,17 +111,19 @@ class FastPitchParams(Config):
     setting so the family is actually usable here.
     """
 
-    embed_dims: int = 384
+    embed_dims: int = 384          # d_model
     n_heads: int = 1
-    d_head: int = 64
-    conv_kernel: int = 3
-    conv_dims: int = 1536
+    conv_kernel: int = 3           # conv1/conv2 kernel in FFT blocks
+    conv_dims: int = 1536          # d_fft
     dropout: float = 0.1
-    n_layers_enc: int = 6
-    n_layers_dec: int = 6
+    n_layers_enc: int = 6          # prenet FFT blocks
+    n_layers_dec: int = 6          # postnet FFT blocks
 
-    series_conv_dims: int = 256
-    series_kernel: int = 3
+    # duration/pitch/energy transformer predictors
+    series_d_model: int = 256
+    series_n_heads: int = 1
+    series_layers: int = 2
+    series_d_fft: int = 1024
     series_dropout: float = 0.1
     pitch_strength: float = 1.0
     energy_strength: float = 1.0

@@ -1,0 +1,138 @@
+"""Vocoder training dataset + collate (ref: vocoder/vocoder_dataset.py).
+
+Pairs GTA (or ground-truth) mels with wav arrays, re-applies preemphasis,
+quantizes on the fly (mu-law / bit labels / 16-bit for MOL), and crops random
+hop-aligned ``seq_len`` windows with the conditioning pad
+(ref: vocoder_dataset.py:33-103). All crops share one static shape — the
+vocoder trainer compiles exactly one step graph per session.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Dict, Iterator, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtvc_tpu.config import sp
+from rtvc_tpu.config.vocoder import MODE_MOL, WaveRNNParams
+from rtvc_tpu.ops import audio as audio_ops
+
+
+class VocoderDataset:
+    def __init__(
+        self,
+        metadata_fpath: Path,
+        mel_dir: Path,
+        wav_dir: Path,
+        vocoder_hparams: WaveRNNParams,
+    ):
+        self.metadata_fpath = Path(metadata_fpath)
+        mel_dir, wav_dir = Path(mel_dir), Path(wav_dir)
+
+        metadata: List[List[str]] = []
+        with self.metadata_fpath.open("r") as f:
+            metadata_dict = json.load(f)
+            for line in metadata_dict.values():
+                metadata.extend([line.split("|")])
+
+        fnames = [x[0] for x in metadata if int(x[2])]
+        gta_fpaths = [mel_dir / ("%s.npy" % f) for f in fnames]
+        wav_fpaths = [wav_dir / ("audio-%s.npy" % f) for f in fnames]
+        self.hp = vocoder_hparams
+        self.samples_fpaths = list(zip(gta_fpaths, wav_fpaths))
+        self.metadata = metadata
+
+    def __len__(self) -> int:
+        return len(self.samples_fpaths)
+
+    def __getitem__(self, index: int) -> Tuple[np.ndarray, np.ndarray, int]:
+        mel_path, wav_path = self.samples_fpaths[index]
+
+        # Mel range → [-1, 1] (ref: vocoder_dataset.py:37-38)
+        mel = np.load(mel_path).T.astype(np.float32) / sp.max_abs_value
+
+        wav = np.load(wav_path)
+        if sp.preemphasis:
+            wav = np.asarray(audio_ops.pre_emphasis(jnp.asarray(wav), sp.preemphasis))
+        wav = np.clip(wav, -1, 1)
+
+        # Pad to a hop multiple covering all mel frames (ref: :46-51)
+        r_pad = (len(wav) // sp.hop_size + 1) * sp.hop_size - len(wav)
+        wav = np.pad(wav, (0, r_pad), mode="constant")
+        assert len(wav) >= mel.shape[1] * sp.hop_size
+        wav = wav[: mel.shape[1] * sp.hop_size]
+
+        # Quantize (ref: :53-60)
+        if self.hp.mode == MODE_MOL:
+            quant = np.asarray(audio_ops.float_2_label(jnp.asarray(wav), bits=16))
+        elif self.hp.mu_law:
+            quant = np.asarray(
+                audio_ops.encode_mu_law(jnp.asarray(wav), mu=2**self.hp.bits)
+            )
+        else:
+            quant = np.asarray(
+                audio_ops.float_2_label(jnp.asarray(wav), bits=self.hp.bits)
+            )
+        return mel.astype(np.float32), quant.astype(np.int64), index
+
+    def get_logs(self) -> str:
+        return "Samples: {0}\n".format(len(self.samples_fpaths))
+
+
+def collate_vocoder(
+    batch: List[Tuple[np.ndarray, np.ndarray, int]],
+    hp: WaveRNNParams,
+    rng: np.random.Generator,
+) -> Dict[str, np.ndarray]:
+    """Random hop-aligned crops → {x, y (labels), y_float, mels, indices}
+    (ref: collate_vocoder, vocoder_dataset.py:73-103)."""
+    mel_win = hp.seq_len // sp.hop_size + 2 * hp.pad
+    max_offsets = [x[0].shape[-1] - 2 - (mel_win + 2 * hp.pad) for x in batch]
+    mel_offsets = [rng.integers(0, max(off, 1)) for off in max_offsets]
+    sig_offsets = [(off + hp.pad) * sp.hop_size for off in mel_offsets]
+
+    mels = np.stack(
+        [x[0][:, mel_offsets[i] : mel_offsets[i] + mel_win] for i, x in enumerate(batch)]
+    ).astype(np.float32)
+    labels = np.stack(
+        [
+            x[1][sig_offsets[i] : sig_offsets[i] + hp.seq_len + 1]
+            for i, x in enumerate(batch)
+        ]
+    ).astype(np.int64)
+
+    x_labels = labels[:, : hp.seq_len]
+    y_labels = labels[:, 1:]
+
+    bits = 16 if hp.mode == MODE_MOL else hp.bits
+    x = 2.0 * x_labels.astype(np.float32) / (2**bits - 1.0) - 1.0  # label_2_float
+    y_float = 2.0 * y_labels.astype(np.float32) / (2**bits - 1.0) - 1.0
+
+    return {
+        "x": x,
+        "y": y_labels.astype(np.int32),
+        "y_float": y_float,
+        "mels": mels,
+        "indices": np.asarray([x[2] for x in batch]),
+    }
+
+
+def batch_iterator(
+    dataset: VocoderDataset,
+    batch_size: int,
+    hp: WaveRNNParams,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = True,
+) -> Iterator[Dict[str, np.ndarray]]:
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
+    if drop_last:
+        batches = [b for b in batches if len(b) == batch_size]
+    for idx in batches:
+        yield collate_vocoder([dataset[int(i)] for i in idx], hp, rng)

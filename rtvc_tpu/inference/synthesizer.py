@@ -211,10 +211,13 @@ class Synthesizer:
         self, chars, speaker_embeds, speed_modifier, pitch_function,
         energy_function, seed,
     ):
-        from rtvc_tpu.models import forward_tacotron as ft
-
         d, variables = self._model.dims, self._model.variables
-        mels, durs = ft.forward_generate(
+        if self._model_type == base.MODEL_TYPE_FASTPITCH:
+            from rtvc_tpu.models.fast_pitch import fastpitch_generate as gen
+        else:
+            from rtvc_tpu.models.forward_tacotron import forward_generate as gen
+
+        mels, durs = gen(
             variables, d, jnp.asarray(chars), jnp.asarray(speaker_embeds),
             jax.random.PRNGKey(seed), alpha=1.0 / speed_modifier,
             pitch_function=pitch_function, energy_function=energy_function,

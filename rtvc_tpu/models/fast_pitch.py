@@ -1,0 +1,462 @@
+"""FastPitch (transformer non-autoregressive synthesizer) — TPU-native.
+
+The reference ships this model but never wires it up (no hparams, not in the
+factory — ref gap: synthesizer/models/fast_pitch.py, config/hparams.py:215-217,
+synthesizer/models/base.py:9-10). Here it is a first-class synthesizer.
+
+Architecture parity with the reference code (ref: fast_pitch.py:17-344):
+FFT blocks (torch-semantics MultiheadAttention + two k//2-padded convs +
+LayerNorms), sinusoidal PositionalEncoding with a learned scale, transformer
+SeriesPredictors for duration/pitch/energy, LengthRegulator, postnet
+transformer, mel head.
+
+Extension over the reference: SV2TTS speaker conditioning — the reference
+FastPitch has none (it predates the fork's multi-speaker wiring); we add a
+linear speaker projection added to the embedded sequence for the trunk and
+every predictor, so the model actually works in this framework's pipeline.
+
+TPU notes: everything is batched matmuls/attention — pure MXU food; no
+recurrence anywhere. Generation mirrors ForwardTacotron's two-jit scheme
+(predict → host bucket → synthesize).
+"""
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvc_tpu.config.synthesizer import FastPitchParams
+from rtvc_tpu.models.layers import Conv1d, Embedding, Linear
+
+
+class FastPitchDims(NamedTuple):
+    num_chars: int
+    n_mels: int
+    speaker_embedding_size: int
+    d_model: int
+    n_heads: int
+    d_fft: int
+    conv_kernel: int
+    dropout: float
+    n_layers_enc: int
+    n_layers_dec: int
+    series_d_model: int
+    series_n_heads: int
+    series_layers: int
+    series_d_fft: int
+    series_dropout: float
+    pitch_strength: float
+    energy_strength: float
+    padding_value: float
+
+    @classmethod
+    def from_config(
+        cls, cfg: FastPitchParams, num_chars: int, n_mels: int, spk: int
+    ) -> "FastPitchDims":
+        return cls(
+            num_chars=num_chars,
+            n_mels=n_mels,
+            speaker_embedding_size=spk,
+            d_model=cfg.embed_dims,
+            n_heads=cfg.n_heads,
+            d_fft=cfg.conv_dims,
+            conv_kernel=cfg.conv_kernel,
+            dropout=cfg.dropout,
+            n_layers_enc=cfg.n_layers_enc,
+            n_layers_dec=cfg.n_layers_dec,
+            series_d_model=cfg.series_d_model,
+            series_n_heads=cfg.series_n_heads,
+            series_layers=cfg.series_layers,
+            series_d_fft=cfg.series_d_fft,
+            series_dropout=cfg.series_dropout,
+            pitch_strength=cfg.pitch_strength,
+            energy_strength=cfg.energy_strength,
+            padding_value=-11.5129,
+        )
+
+
+def _mm(x, w):
+    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Transformer pieces (torch parameter layouts)
+# ---------------------------------------------------------------------------
+
+
+def positional_encoding_table(d_model: int, max_len: int = 5000) -> np.ndarray:
+    """Sinusoidal table (ref: fast_pitch.py:17-35)."""
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float64) * (-math.log(10000.0) / d_model)
+    )
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe
+
+
+def multihead_attention(
+    p: Dict, x: jax.Array, n_heads: int, key_padding_mask: Optional[jax.Array]
+) -> jax.Array:
+    """torch.nn.MultiheadAttention semantics (packed qkv in_proj + out_proj).
+
+    x: (B, T, E); key_padding_mask: (B, T) True where padded.
+    """
+    B, T, E = x.shape
+    qkv = _mm(x, p["in_proj_weight"].T) + p["in_proj_bias"]  # (B, T, 3E)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    H = n_heads
+    Dh = E // H
+
+    def heads(t):
+        return jnp.transpose(t.reshape(B, T, H, Dh), (0, 2, 1, 3))
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(Dh)
+    if key_padding_mask is not None:
+        scores = jnp.where(
+            key_padding_mask[:, None, None, :], -jnp.inf, scores
+        )
+    attn = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, E)
+    return _mm(out, p["out_proj"]["weight"].T) + p["out_proj"]["bias"]
+
+
+def layer_norm(p: Dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+
+
+def _conv(p: Dict, x: jax.Array, kernel: int) -> jax.Array:
+    """k//2-padded 1-D conv over (B, T, C), torch weight (O, I, K)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        jnp.transpose(p["weight"], (2, 1, 0)),
+        window_strides=(1,),
+        padding=[(kernel // 2, kernel // 2)],
+        dimension_numbers=("NLC", "LIO", "NLC"),
+        preferred_element_type=jnp.float32,
+    )
+    return y[:, : x.shape[1], :] + p["bias"]
+
+
+def fft_block(
+    p: Dict,
+    x: jax.Array,
+    n_heads: int,
+    kernel: int,
+    key_padding_mask: Optional[jax.Array],
+    dropout: float,
+    rng: Optional[jax.Array],
+    train: bool,
+) -> jax.Array:
+    """Self-attention + conv feed-forward block (ref: fast_pitch.py:55-93)."""
+
+    def drop(key, h):
+        if not train or dropout == 0.0 or key is None:
+            return h
+        keep = jax.random.bernoulli(key, 1.0 - dropout, h.shape)
+        return jnp.where(keep, h / (1.0 - dropout), 0.0)
+
+    k1 = k2 = None
+    if rng is not None:
+        k1, k2 = jax.random.split(rng)
+
+    attn = multihead_attention(p["self_attn"], x, n_heads, key_padding_mask)
+    x = layer_norm(p["norm1"], x + drop(k1, attn))
+    h = jax.nn.relu(_conv(p["conv1"], x, kernel))
+    h = _conv(p["conv2"], h, kernel)
+    x = layer_norm(p["norm2"], x + drop(k2, h))
+    return x
+
+
+def forward_transformer(
+    p: Dict,
+    x: jax.Array,
+    n_layers: int,
+    n_heads: int,
+    kernel: int,
+    key_padding_mask: Optional[jax.Array],
+    dropout: float,
+    rng: Optional[jax.Array],
+    train: bool,
+) -> jax.Array:
+    """PositionalEncoding + FFT stack + final norm (ref: fast_pitch.py:96-133)."""
+    T = x.shape[1]
+    pe = jnp.asarray(positional_encoding_table(x.shape[-1])[:T])
+    x = x + p["pos_encoder"]["scale"] * pe[None, :, :]
+    if train and dropout > 0 and rng is not None:
+        rng, sub = jax.random.split(rng)
+        keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+        x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+    for i in range(n_layers):
+        sub = jax.random.fold_in(rng, i) if rng is not None else None
+        x = fft_block(
+            p[f"layers_{i}"], x, n_heads, kernel, key_padding_mask, dropout,
+            sub, train,
+        )
+    return layer_norm(p["norm"], x)
+
+
+# ---------------------------------------------------------------------------
+# Model
+# ---------------------------------------------------------------------------
+
+
+def _series_forward(
+    p: Dict,
+    d: FastPitchDims,
+    x_ids: jax.Array,
+    spk_emb: jax.Array,
+    pad_mask: Optional[jax.Array],
+    alpha: float,
+    rng: Optional[jax.Array],
+    train: bool,
+) -> jax.Array:
+    h = jnp.take(p["embedding"]["weight"], x_ids, axis=0)
+    # SV2TTS extension: additive speaker projection
+    h = h + _mm(spk_emb, p["spk_proj"]["weight"].T)[:, None, :] + p["spk_proj"]["bias"]
+    h = forward_transformer(
+        p["transformer"], h, d.series_layers, d.series_n_heads, d.conv_kernel,
+        pad_mask, d.series_dropout, rng, train,
+    )
+    out = _mm(h, p["lin"]["weight"].T) + p["lin"]["bias"]
+    return out / alpha
+
+
+def fastpitch_forward(
+    variables: Dict,
+    d: FastPitchDims,
+    x: jax.Array,
+    mel: jax.Array,
+    dur: jax.Array,
+    spk_emb: jax.Array,
+    mel_lens: jax.Array,
+    pitch: jax.Array,
+    energy: jax.Array,
+    rng: jax.Array,
+    train: bool = True,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, Dict]:
+    """Training forward (ref: fast_pitch.py:243-285). Returns
+    (mel_hat, mel_post, dur_hat, pitch_hat, energy_hat, new_stats)."""
+    from rtvc_tpu.models.layers import LengthRegulator
+
+    p = variables["params"]
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    pad_mask = x == 0
+
+    dur_hat = _series_forward(p["dur_pred"], d, x, spk_emb, pad_mask, 1.0, k1, train)
+    pitch_hat = _series_forward(p["pitch_pred"], d, x, spk_emb, pad_mask, 1.0, k2, train)
+    energy_hat = _series_forward(p["energy_pred"], d, x, spk_emb, pad_mask, 1.0, k3, train)
+
+    h = jnp.take(p["embedding"]["weight"], x, axis=0)
+    h = h + _mm(spk_emb, p["spk_proj"]["weight"].T)[:, None, :] + p["spk_proj"]["bias"]
+    h = forward_transformer(
+        p["prenet"], h, d.n_layers_enc, d.n_heads, d.conv_kernel, pad_mask,
+        d.dropout, k4, train,
+    )
+
+    h = h + _conv(p["pitch_proj"], pitch[..., None], 3) * d.pitch_strength
+    h = h + _conv(p["energy_proj"], energy[..., None], 3) * d.energy_strength
+
+    max_len = mel.shape[2]
+    durations = jnp.maximum(jnp.floor(dur + 0.5), 0.0).astype(jnp.int32)
+    h = LengthRegulator().apply({"params": {}}, h, durations, max_len)
+
+    mel_pad_mask = jnp.arange(max_len)[None, :] >= mel_lens[:, None]
+    h = forward_transformer(
+        p["postnet"], h, d.n_layers_dec, d.n_heads, d.conv_kernel,
+        mel_pad_mask, d.dropout, k5, train,
+    )
+    m = _mm(h, p["lin"]["weight"].T) + p["lin"]["bias"]
+    m = jnp.where(mel_pad_mask[..., None], d.padding_value, m)
+    m = jnp.swapaxes(m, 1, 2)
+    return (
+        m, m, dur_hat[..., 0],
+        jnp.swapaxes(pitch_hat, 1, 2), jnp.swapaxes(energy_hat, 1, 2), {},
+    )
+
+
+def fastpitch_generate(
+    variables: Dict,
+    d: FastPitchDims,
+    x: jax.Array,
+    spk_emb: jax.Array,
+    rng: jax.Array,
+    alpha: float = 1.0,
+    pitch_function: Optional[Callable] = None,
+    energy_function: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generation (ref: fast_pitch.py:289-344): two-jit predict → synthesize.
+    Returns (mel (B, n_mels, L), durations (B, T_text))."""
+    p = variables["params"]
+
+    @jax.jit
+    def _predict(variables, x, spk_emb):
+        p = variables["params"]
+        pad_mask = x == 0
+        dur = _series_forward(p["dur_pred"], d, x, spk_emb, pad_mask, 1.0, None, False)
+        pitch = _series_forward(p["pitch_pred"], d, x, spk_emb, pad_mask, 1.0, None, False)
+        energy = _series_forward(p["energy_pred"], d, x, spk_emb, pad_mask, 1.0, None, False)
+        return dur, pitch, energy
+
+    dur_hat, pitch_hat, energy_hat = _predict(variables, x, spk_emb)
+    dur_hat = np.asarray(dur_hat)[..., 0] / alpha
+    # pitch/energy functions receive (B, 1, T) like the reference
+    # (ref: fast_pitch.py:300-303)
+    pitch_hat = np.swapaxes(np.asarray(pitch_hat), 1, 2)
+    energy_hat = np.swapaxes(np.asarray(energy_hat), 1, 2)
+    if pitch_function is not None:
+        pitch_hat = np.asarray(pitch_function(pitch_hat))
+    if energy_function is not None:
+        energy_hat = np.asarray(energy_function(energy_hat))
+
+    durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
+    if durations.sum() <= 0:
+        durations[:] = 2
+    mel_lens = durations.sum(axis=1)
+    max_len = int(-(-int(mel_lens.max()) // 128) * 128)
+
+    @functools.partial(jax.jit, static_argnames=("max_len",))
+    def _synth(variables, x, spk_emb, durations, pitch, energy, mel_lens, max_len):
+        from rtvc_tpu.models.layers import LengthRegulator
+
+        p = variables["params"]
+        pad_mask = x == 0
+        h = jnp.take(p["embedding"]["weight"], x, axis=0)
+        h = (
+            h
+            + _mm(spk_emb, p["spk_proj"]["weight"].T)[:, None, :]
+            + p["spk_proj"]["bias"]
+        )
+        h = forward_transformer(
+            p["prenet"], h, d.n_layers_enc, d.n_heads, d.conv_kernel,
+            pad_mask, d.dropout, None, False,
+        )
+        h = h + _conv(p["pitch_proj"], jnp.swapaxes(pitch, 1, 2), 3) * d.pitch_strength
+        h = h + _conv(p["energy_proj"], jnp.swapaxes(energy, 1, 2), 3) * d.energy_strength
+        h = LengthRegulator().apply({"params": {}}, h, durations, max_len)
+        # Generation postnet runs unmasked (ref: fast_pitch.py:337)
+        h = forward_transformer(
+            p["postnet"], h, d.n_layers_dec, d.n_heads, d.conv_kernel,
+            None, d.dropout, None, False,
+        )
+        m = _mm(h, p["lin"]["weight"].T) + p["lin"]["bias"]
+        mask = jnp.arange(max_len)[None, :] >= mel_lens[:, None]
+        m = jnp.where(mask[..., None], d.padding_value, m)
+        return jnp.swapaxes(m, 1, 2)
+
+    mel = _synth(
+        variables, x, spk_emb, jnp.asarray(durations),
+        jnp.asarray(pitch_hat), jnp.asarray(energy_hat),
+        jnp.asarray(mel_lens), max_len,
+    )
+    return np.asarray(mel), durations
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_transformer(key, d_model, d_fft, n_layers, kernel):
+    params: Dict[str, Any] = {"pos_encoder": {"scale": jnp.ones((1,))}}
+
+    def lin_init(k, o, i):
+        s = 1.0 / math.sqrt(i)
+        k1, k2 = jax.random.split(k)
+        return {
+            "weight": jax.random.uniform(k1, (o, i), jnp.float32, -s, s),
+            "bias": jax.random.uniform(k2, (o,), jnp.float32, -s, s),
+        }
+
+    def conv_init(k, o, i, ksz):
+        s = 1.0 / math.sqrt(i * ksz)
+        k1, k2 = jax.random.split(k)
+        return {
+            "weight": jax.random.uniform(k1, (o, i, ksz), jnp.float32, -s, s),
+            "bias": jax.random.uniform(k2, (o,), jnp.float32, -s, s),
+        }
+
+    for i in range(n_layers):
+        k = jax.random.fold_in(key, i)
+        ks = jax.random.split(k, 4)
+        limit = math.sqrt(6.0 / (2 * d_model))
+        params[f"layers_{i}"] = {
+            "self_attn": {
+                # torch MHA xavier-inits in_proj
+                "in_proj_weight": jax.random.uniform(
+                    ks[0], (3 * d_model, d_model), jnp.float32, -limit, limit
+                ),
+                "in_proj_bias": jnp.zeros((3 * d_model,)),
+                "out_proj": lin_init(ks[1], d_model, d_model),
+            },
+            "conv1": conv_init(ks[2], d_fft, d_model, kernel),
+            "conv2": conv_init(ks[3], d_model, d_fft, kernel),
+            "norm1": {"weight": jnp.ones(d_model), "bias": jnp.zeros(d_model)},
+            "norm2": {"weight": jnp.ones(d_model), "bias": jnp.zeros(d_model)},
+        }
+    params["norm"] = {"weight": jnp.ones(d_model), "bias": jnp.zeros(d_model)}
+    return params
+
+
+def init_fast_pitch(key: jax.Array, d: FastPitchDims) -> Dict[str, Any]:
+    keys = jax.random.split(key, 16)
+
+    def lin_init(k, o, i, bias=True):
+        s = 1.0 / math.sqrt(i)
+        k1, k2 = jax.random.split(k)
+        out = {"weight": jax.random.uniform(k1, (o, i), jnp.float32, -s, s)}
+        if bias:
+            out["bias"] = jax.random.uniform(k2, (o,), jnp.float32, -s, s)
+        return out
+
+    def conv_init(k, o, i, ksz):
+        s = 1.0 / math.sqrt(i * ksz)
+        k1, k2 = jax.random.split(k)
+        return {
+            "weight": jax.random.uniform(k1, (o, i, ksz), jnp.float32, -s, s),
+            "bias": jax.random.uniform(k2, (o,), jnp.float32, -s, s),
+        }
+
+    def series(k, dm):
+        return {
+            "embedding": {
+                "weight": jax.random.normal(jax.random.fold_in(k, 0), (d.num_chars, dm))
+            },
+            "spk_proj": lin_init(
+                jax.random.fold_in(k, 1), dm, d.speaker_embedding_size
+            ),
+            "transformer": _init_transformer(
+                jax.random.fold_in(k, 2), dm, d.series_d_fft, d.series_layers,
+                d.conv_kernel,
+            ),
+            "lin": lin_init(jax.random.fold_in(k, 3), 1, dm),
+        }
+
+    params: Dict[str, Any] = {
+        "dur_pred": series(keys[0], d.series_d_model),
+        "pitch_pred": series(keys[1], d.series_d_model),
+        "energy_pred": series(keys[2], d.series_d_model),
+        "embedding": {
+            "weight": jax.random.normal(keys[3], (d.num_chars, d.d_model))
+        },
+        "spk_proj": lin_init(keys[4], d.d_model, d.speaker_embedding_size),
+        "prenet": _init_transformer(
+            keys[5], d.d_model, d.d_fft, d.n_layers_enc, d.conv_kernel
+        ),
+        "postnet": _init_transformer(
+            keys[6], d.d_model, d.d_fft, d.n_layers_dec, d.conv_kernel
+        ),
+        "lin": lin_init(keys[7], d.n_mels, d.d_model),
+        "pitch_proj": conv_init(keys[8], d.d_model, 1, 3),
+        "energy_proj": conv_init(keys[9], d.d_model, 1, 3),
+    }
+    return {"params": params, "batch_stats": {}}

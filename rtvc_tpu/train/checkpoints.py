@@ -28,6 +28,9 @@ MAGIC = b"RTVCTPU1"
 def _to_numpy_tree(tree: Any) -> Any:
     import jax
 
+    # to_state_dict flattens arbitrary pytree containers (optax states,
+    # NamedTuples) into plain nested dicts that msgpack can serialize.
+    tree = serialization.to_state_dict(tree)
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 

@@ -112,6 +112,94 @@ def make_tacotron_train_step(
 
 
 # ---------------------------------------------------------------------------
+# NAR synthesizers (ForwardTacotron / FastPitch)
+# ---------------------------------------------------------------------------
+
+
+def _masked_l1_lastdim(pred: jax.Array, target: jax.Array, lens: jax.Array) -> jax.Array:
+    """L1 masked over the LAST (time) axis (torch MaskedL1 semantics used by
+    the ForwardTacotron losses, ref: synthesizer/train.py:429-436)."""
+    T = pred.shape[-1]
+    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(pred.dtype)
+    while mask.ndim < pred.ndim:
+        mask = mask[:, None, :]
+    mask = jnp.broadcast_to(mask, pred.shape)
+    return jnp.sum(jnp.abs(pred - target) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg):
+    """ForwardTacotron/FastPitch step: masked L1 on mel/post + weighted
+    duration/pitch/energy losses with zoneout masks on the conditioning
+    (ref: synthesizer/train.py:405-442)."""
+    from rtvc_tpu.models import factories
+
+    if model_type == factories.MODEL_TYPE_FORWARD_TACOTRON:
+        from rtvc_tpu.models.forward_tacotron import forward_tacotron_forward as fwd
+    else:
+        from rtvc_tpu.models.fast_pitch import fastpitch_forward as fwd
+
+    pitch_zoneout = getattr(cfg, "pitch_zoneout", 0.0)
+    energy_zoneout = getattr(cfg, "energy_zoneout", 0.0)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        k_zo1, k_zo2, k_fwd = jax.random.split(rng, 3)
+        pitch_target = batch["pitch"]
+        energy_target = batch["energy"]
+        pitch_in = pitch_target * (
+            jax.random.uniform(k_zo1, pitch_target.shape) > pitch_zoneout
+        )
+        energy_in = energy_target * (
+            jax.random.uniform(k_zo2, energy_target.shape) > energy_zoneout
+        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        mel_hat, mel_post, dur_hat, pitch_hat, energy_hat, new_stats = fwd(
+            variables, dims, batch["chars"], batch["mels"], batch["durations"],
+            batch["embeds"], batch["spec_lens"], pitch_in, energy_in,
+            k_fwd, train=True,
+        )
+        m1 = _masked_l1_lastdim(mel_hat, batch["mels"], batch["spec_lens"])
+        m2 = _masked_l1_lastdim(mel_post, batch["mels"], batch["spec_lens"])
+        dur_l = _masked_l1_lastdim(
+            dur_hat[:, None, :], batch["durations"][:, None, :], batch["x_lens"]
+        )
+        pitch_l = _masked_l1_lastdim(
+            pitch_hat, pitch_target[:, None, :], batch["x_lens"]
+        )
+        energy_l = _masked_l1_lastdim(
+            energy_hat, energy_target[:, None, :], batch["x_lens"]
+        )
+        loss = (
+            m1
+            + m2
+            + cfg.duration_loss_factor * dur_l
+            + cfg.pitch_loss_factor * pitch_l
+            + cfg.energy_loss_factor * energy_l
+        )
+        return loss, (new_stats, {"m1": m1, "m2": m2, "dur": dur_l,
+                                  "pitch": pitch_l, "energy": energy_l})
+
+    clip = getattr(cfg, "clip_grad_norm", 1.0)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, batch, rng):
+        (loss, (new_stats, parts)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, batch, rng)
+        gnorm = optax.global_norm(grads)
+        if clip is not None:
+            scale = jnp.minimum(1.0, clip / (gnorm + 1e-6))
+            grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        merged_stats = {**batch_stats, **new_stats}
+        return params, merged_stats, opt_state, {
+            "loss": loss, "grad_norm": gnorm, **parts,
+        }
+
+    return step
+
+
+# ---------------------------------------------------------------------------
 # WaveRNN
 # ---------------------------------------------------------------------------
 
