@@ -63,8 +63,11 @@ def detect_speech_windows(
     energy_db = 10.0 * np.log10(np.maximum(energy, 1e-12))
 
     floor_db = np.percentile(energy_db, floor_percentile)
-    # Absolute floor: −70 dBFS ≈ digital silence for 16-bit audio.
-    threshold = max(floor_db + energy_margin_db, -70.0)
+    peak_db = np.percentile(energy_db, 95)
+    # Speech sits above the noise floor by the margin — but when the clip has
+    # no silence at all (floor ≈ peak), fall back to "within 6 dB of peak",
+    # and never require more than digital silence (−70 dBFS).
+    threshold = max(min(floor_db + energy_margin_db, peak_db - 6.0), -70.0)
     return energy_db > threshold
 
 
