@@ -1,0 +1,44 @@
+"""Train the GE2E speaker encoder (ref: encoder_train.py)."""
+import argparse
+from pathlib import Path
+
+from rtvc_tpu.config.encoder import encoder_model
+from rtvc_tpu.data.ge2e_sampler import (
+    SpeakerVerificationDataset,
+    speaker_batch_iterator,
+)
+from rtvc_tpu.train.trainer import train_encoder
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("run_id", type=str)
+    parser.add_argument("clean_data_root", type=Path,
+                        help="Preprocessed encoder dataset root.")
+    parser.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    parser.add_argument("--save_every", type=int, default=500)
+    parser.add_argument("--backup_every", type=int, default=7500)
+    parser.add_argument("--total_steps", type=int, default=None)
+    parser.add_argument("--learning_rate", type=float,
+                        default=encoder_model.learning_rate_init)
+    parser.add_argument("--speakers_per_batch", type=int,
+                        default=encoder_model.speakers_per_batch)
+    parser.add_argument("--utterances_per_speaker", type=int,
+                        default=encoder_model.utterances_per_speaker)
+    parser.add_argument("--profile", action="store_true")
+    args = parser.parse_args()
+
+    dataset = SpeakerVerificationDataset(args.clean_data_root)
+    it = speaker_batch_iterator(
+        dataset, args.speakers_per_batch, args.utterances_per_speaker,
+        n_frames=160,
+    )
+    train_encoder(
+        args.run_id, it, args.models_dir,
+        speakers_per_batch=args.speakers_per_batch,
+        utterances_per_speaker=args.utterances_per_speaker,
+        learning_rate=args.learning_rate, total_steps=args.total_steps,
+        save_every=args.save_every, backup_every=args.backup_every,
+        profile=args.profile,
+    )

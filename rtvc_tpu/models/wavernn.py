@@ -504,17 +504,38 @@ def _hoist_aux(p: Dict, d: WaveRNNDims, mels_up, splits):
     return pre
 
 
-def _sample_step(d: WaveRNNDims, logits: jax.Array, key: jax.Array) -> jax.Array:
-    """One sampling step → float sample in [-1, 1], shape (B,)."""
+def _sample_step(
+    d: WaveRNNDims, logits: jax.Array, key: jax.Array, argmax: bool = False
+) -> jax.Array:
+    """One sampling step → float sample in [-1, 1], shape (B,).
+
+    ``argmax=True`` is a deterministic test hook (greedy decode) used for
+    bit-level cross-implementation parity with the native C++ engine."""
     if d.mode == MODE_MOL:
+        if argmax:
+            k = d.n_classes // 3
+            comp = jnp.argmax(logits[:, :k], axis=-1)
+            mean = jnp.take_along_axis(logits[:, k : 2 * k], comp[:, None], 1)[:, 0]
+            return jnp.clip(mean, -1.0, 1.0)
         return sample_from_discretized_mix_logistic(key, logits[:, :, None])[:, 0]
     if d.mode == MODE_RAW and d.variant == VOC_GENEING:
+        if argmax:
+            alpha = jnp.exp(logits[:, 0])
+            beta = jnp.exp(logits[:, 1])
+            mode_ok = (alpha > 1) & (beta > 1)
+            m = jnp.where(
+                mode_ok, (alpha - 1) / (alpha + beta - 2), alpha / (alpha + beta)
+            )
+            return 2.0 * m - 1.0
         return sample_from_beta_dist(key, logits[:, None, :])[:, 0]
     # RAW / BITS: categorical over n_classes via Gumbel argmax
-    gumbel = -jnp.log(
-        -jnp.log(jax.random.uniform(key, logits.shape, minval=1e-9, maxval=1.0))
-    )
-    label = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.float32)
+    if argmax:
+        label = jnp.argmax(logits, axis=-1).astype(jnp.float32)
+    else:
+        gumbel = -jnp.log(
+            -jnp.log(jax.random.uniform(key, logits.shape, minval=1e-9, maxval=1.0))
+        )
+        label = jnp.argmax(logits + gumbel, axis=-1).astype(jnp.float32)
     return 2.0 * label / (d.n_classes - 1.0) - 1.0
 
 
@@ -524,6 +545,7 @@ def generate_core(
     mels_up: jax.Array,
     aux: jax.Array,
     key: jax.Array,
+    argmax: bool = False,
 ) -> jax.Array:
     """Run the AR sample loop over upsampled conditioning (B, T, ·) →
     samples (B, T) in [-1, 1]. jit-compiled per (B, T) shape."""
@@ -627,7 +649,7 @@ def generate_core(
         prev, h_states = carry
         x = t_in["i_cond"] + prev[:, None] * pre["i_prev_col"][None, :]
         logits, h_states = cell(x, h_states, t_in)
-        sample = _sample_step(d, logits, t_in["key"])
+        sample = _sample_step(d, logits, t_in["key"], argmax)
         return (sample, h_states), sample
 
     (_, _), samples = jax.lax.scan(body, (jnp.zeros(B), h0), xs)

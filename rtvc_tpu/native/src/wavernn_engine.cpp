@@ -1,0 +1,495 @@
+// Native WaveRNN engine implementation. See header for design notes.
+#include "wavernn_engine.h"
+
+#include <algorithm>
+#include <cassert>
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+
+namespace rtvc {
+
+namespace {
+
+constexpr char kMagic[8] = {'R', 'T', 'V', 'C', 'N', 'A', 'T', '1'};
+
+struct Reader {
+  FILE* f;
+  bool ok = true;
+  template <typename T>
+  T scalar() {
+    T v{};
+    ok = ok && fread(&v, sizeof(T), 1, f) == 1;
+    return v;
+  }
+  void bytes(void* dst, size_t n) { ok = ok && fread(dst, 1, n, f) == n; }
+  std::string str() {
+    int32_t n = scalar<int32_t>();
+    std::string s(ok ? n : 0, '\0');
+    if (ok && n) bytes(s.data(), n);
+    return s;
+  }
+};
+
+Mat read_mat(Reader& r) {
+  Mat m;
+  m.kind = static_cast<TensorKind>(r.scalar<int32_t>());
+  int rows = r.scalar<int32_t>();
+  int cols = r.scalar<int32_t>();
+  if (m.kind == DENSE) {
+    m.dense.rows = rows;
+    m.dense.cols = cols;
+    m.dense.w.resize((size_t)rows * cols);
+    r.bytes(m.dense.w.data(), m.dense.w.size() * sizeof(float));
+  } else {
+    m.sparse.rows = rows;
+    m.sparse.cols = cols;
+    m.sparse.group = r.scalar<int32_t>();
+    int32_t n_groups = r.scalar<int32_t>();
+    m.sparse.row_ptr.resize(rows + 1);
+    r.bytes(m.sparse.row_ptr.data(), (rows + 1) * sizeof(int32_t));
+    m.sparse.group_col.resize(n_groups);
+    r.bytes(m.sparse.group_col.data(), n_groups * sizeof(uint16_t));
+    m.sparse.vals.resize((size_t)n_groups * m.sparse.group);
+    r.bytes(m.sparse.vals.data(), m.sparse.vals.size() * sizeof(float));
+  }
+  return m;
+}
+
+std::vector<float> read_vec(Reader& r) {
+  int32_t n = r.scalar<int32_t>();
+  std::vector<float> v(r.ok ? n : 0);
+  if (r.ok && n) r.bytes(v.data(), n * sizeof(float));
+  return v;
+}
+
+inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+
+}  // namespace
+
+void gemv_acc(const Mat& m, const float* x, float* y) {
+  if (m.kind == DENSE) {
+    const int rows = m.dense.rows, cols = m.dense.cols;
+    for (int r = 0; r < rows; ++r) {
+      const float* w = m.dense.row(r);
+      float acc = 0.f;
+      for (int c = 0; c < cols; ++c) acc += w[c] * x[c];
+      y[r] += acc;
+    }
+  } else {
+    const auto& s = m.sparse;
+    const int g = s.group;
+    for (int r = 0; r < s.rows; ++r) {
+      float acc = 0.f;
+      for (int32_t p = s.row_ptr[r]; p < s.row_ptr[r + 1]; ++p) {
+        const float* w = s.vals.data() + (size_t)p * g;
+        const float* xv = x + (size_t)s.group_col[p] * g;
+        for (int k = 0; k < g; ++k) acc += w[k] * xv[k];
+      }
+      y[r] += acc;
+    }
+  }
+}
+
+void gemv(const Linear& lin, const float* x, float* y) {
+  const int rows = lin.w.rows();
+  if (!lin.b.empty())
+    std::memcpy(y, lin.b.data(), rows * sizeof(float));
+  else
+    std::memset(y, 0, rows * sizeof(float));
+  gemv_acc(lin.w, x, y);
+}
+
+// GRU step with torch semantics: r,z inside sigmoid; candidate uses
+// r ⊙ (W_hn h + b_hn) with the hidden bias inside the product.
+static void gru_step(const Gru& g, const float* xg /*3H: W_ih x + b_ih*/,
+                     std::vector<float>& scratch, float* h) {
+  const int H = g.hidden;
+  scratch.resize(3 * H);
+  if (!g.b_hh.empty())
+    std::memcpy(scratch.data(), g.b_hh.data(), 3 * H * sizeof(float));
+  else
+    std::memset(scratch.data(), 0, 3 * H * sizeof(float));
+  gemv_acc(g.w_hh, h, scratch.data());
+  const float* hr = scratch.data();
+  const float* hz = scratch.data() + H;
+  const float* hn = scratch.data() + 2 * H;
+  for (int i = 0; i < H; ++i) {
+    float r = sigmoidf(xg[i] + hr[i]);
+    float z = sigmoidf(xg[H + i] + hz[i]);
+    float n = std::tanh(xg[2 * H + i] + r * hn[i]);
+    h[i] = (1.f - z) * n + z * h[i];
+  }
+}
+
+bool Model::load(const std::string& path, std::string* err) {
+  FILE* f = fopen(path.c_str(), "rb");
+  if (!f) {
+    if (err) *err = "cannot open " + path;
+    return false;
+  }
+  Reader r{f};
+  char magic[8];
+  r.bytes(magic, 8);
+  if (!r.ok || std::memcmp(magic, kMagic, 8) != 0) {
+    if (err) *err = "bad magic in " + path;
+    fclose(f);
+    return false;
+  }
+  variant = r.scalar<int32_t>();
+  mode = r.scalar<int32_t>();
+  n_classes = r.scalar<int32_t>();
+  rnn_dims = r.scalar<int32_t>();
+  fc_dims = r.scalar<int32_t>();
+  feat_dims = r.scalar<int32_t>();
+  aux_dims = r.scalar<int32_t>();
+  res_blocks = r.scalar<int32_t>();
+  pad = r.scalar<int32_t>();
+  hop = r.scalar<int32_t>();
+  int32_t n_up = r.scalar<int32_t>();
+  upsample.factors.resize(n_up);
+  for (int i = 0; i < n_up; ++i) upsample.factors[i] = r.scalar<int32_t>();
+
+  // upsample network (BN pre-folded by the exporter)
+  auto dense_of = [&](Mat&& m) { return std::move(m.dense); };
+  upsample.conv_in_w = dense_of(read_mat(r));
+  upsample.conv_in_b = read_vec(r);
+  upsample.blocks.resize(res_blocks);
+  for (auto& blk : upsample.blocks) {
+    blk.w1 = dense_of(read_mat(r));
+    blk.b1 = read_vec(r);
+    blk.w2 = dense_of(read_mat(r));
+    blk.b2 = read_vec(r);
+  }
+  upsample.conv_out_w = dense_of(read_mat(r));
+  upsample.conv_out_b = read_vec(r);
+  upsample.smooth.resize(n_up);
+  for (auto& k : upsample.smooth) k = read_vec(r);
+
+  I.w = read_mat(r);
+  I.b = read_vec(r);
+
+  int n_rnns = variant == FATCHORD ? 2 : variant == GENEING ? 1 : 4;
+  int n_fcs = variant == FATCHORD ? 3 : variant == GENEING ? 2 : 5;
+  rnns.resize(n_rnns);
+  for (auto& g : rnns) {
+    g.w_ih = read_mat(r);
+    g.w_hh = read_mat(r);
+    g.b_ih = read_vec(r);
+    g.b_hh = read_vec(r);
+    g.hidden = g.w_hh.cols();
+  }
+  fcs.resize(n_fcs);
+  for (auto& l : fcs) {
+    l.w = read_mat(r);
+    l.b = read_vec(r);
+  }
+  fclose(f);
+  if (!r.ok && err) *err = "truncated file " + path;
+  return r.ok;
+}
+
+int Model::sample_categorical(const float* logits, int n, bool argmax) {
+  if (argmax)
+    return (int)(std::max_element(logits, logits + n) - logits);
+  // softmax + CDF inverse sampling
+  float mx = *std::max_element(logits, logits + n);
+  double total = 0;
+  std::vector<double> p(n);
+  for (int i = 0; i < n; ++i) {
+    p[i] = std::exp((double)logits[i] - mx);
+    total += p[i];
+  }
+  std::uniform_real_distribution<double> U(0.0, 1.0);
+  double u = U(rng_) * total, c = 0;
+  for (int i = 0; i < n; ++i) {
+    c += p[i];
+    if (u <= c) return i;
+  }
+  return n - 1;
+}
+
+float Model::sample_mol(const float* logits, bool argmax) {
+  // 10-component logistic mixture: [logit_probs | means | log_scales]
+  const int k = n_classes / 3;
+  int comp;
+  if (argmax) {
+    comp = (int)(std::max_element(logits, logits + k) - logits);
+  } else {
+    comp = sample_categorical(logits, k, false);
+  }
+  float mean = logits[k + comp];
+  float log_scale = std::max(logits[2 * k + comp], -32.23619f);
+  if (argmax) return std::clamp(mean, -1.f, 1.f);
+  std::uniform_real_distribution<double> U(1e-5, 1.0 - 1e-5);
+  double u = U(rng_);
+  float x = mean + std::exp(log_scale) * (float)(std::log(u) - std::log1p(-u));
+  return std::clamp(x, -1.f, 1.f);
+}
+
+float Model::sample_beta(const float* logits, bool argmax) {
+  // Beta(exp(a), exp(b)) rescaled to [-1, 1] (geneing RAW head)
+  float alpha = std::exp(logits[0]), beta = std::exp(logits[1]);
+  if (argmax) {
+    // distribution mode (fallback to mean for a/b <= 1)
+    float m = (alpha > 1 && beta > 1)
+                  ? (alpha - 1) / (alpha + beta - 2)
+                  : alpha / (alpha + beta);
+    return 2.f * m - 1.f;
+  }
+  std::gamma_distribution<double> ga(alpha, 1.0), gb(beta, 1.0);
+  double x = ga(rng_), y = gb(rng_);
+  return (float)(2.0 * (x / (x + y)) - 1.0);
+}
+
+std::vector<float> Model::generate(const float* mel, int n_frames,
+                                   bool argmax_sampling) {
+  const int F = feat_dims;
+  int scale = 1;
+  for (int s : upsample.factors) scale *= s;
+
+  // ---- pad mel by `pad` frames on both sides -----------------------------
+  const int padded = n_frames + 2 * pad;
+  std::vector<float> mel_p((size_t)padded * F, 0.f);  // (T, F) frame-major
+  for (int t = 0; t < n_frames; ++t)
+    for (int c = 0; c < F; ++c)
+      mel_p[(size_t)(t + pad) * F + c] = mel[(size_t)c * n_frames + t];
+
+  // ---- aux resnet (VALID conv_in + 1x1 blocks) ----------------------------
+  const int k_in = 2 * pad + 1;
+  const int t_aux = padded - k_in + 1;  // == n_frames
+  const int compute = upsample.conv_in_w.rows;
+  std::vector<float> h((size_t)t_aux * compute);
+  for (int t = 0; t < t_aux; ++t) {
+    float* out = h.data() + (size_t)t * compute;
+    for (int rrow = 0; rrow < compute; ++rrow) {
+      const float* w = upsample.conv_in_w.row(rrow);  // (F*k_in)
+      float acc = upsample.conv_in_b[rrow];
+      for (int k = 0; k < k_in; ++k) {
+        const float* xt = mel_p.data() + (size_t)(t + k) * F;
+        const float* wk = w + (size_t)k * F;
+        for (int c = 0; c < F; ++c) acc += wk[c] * xt[c];
+      }
+      out[rrow] = std::max(acc, 0.f);  // conv_in -> BN -> relu (BN folded)
+    }
+  }
+  std::vector<float> tmp(compute);
+  for (const auto& blk : upsample.blocks) {
+    for (int t = 0; t < t_aux; ++t) {
+      float* x = h.data() + (size_t)t * compute;
+      for (int rrow = 0; rrow < compute; ++rrow) {
+        const float* w = blk.w1.row(rrow);
+        float acc = blk.b1[rrow];
+        for (int c = 0; c < compute; ++c) acc += w[c] * x[c];
+        tmp[rrow] = std::max(acc, 0.f);
+      }
+      for (int rrow = 0; rrow < compute; ++rrow) {
+        const float* w = blk.w2.row(rrow);
+        float acc = blk.b2[rrow];
+        for (int c = 0; c < compute; ++c) acc += w[c] * tmp[c];
+        x[rrow] += acc;  // residual
+      }
+    }
+  }
+  const int res_out = upsample.conv_out_w.rows;
+  std::vector<float> aux((size_t)t_aux * res_out);
+  for (int t = 0; t < t_aux; ++t) {
+    const float* x = h.data() + (size_t)t * compute;
+    float* out = aux.data() + (size_t)t * res_out;
+    for (int rrow = 0; rrow < res_out; ++rrow) {
+      const float* w = upsample.conv_out_w.row(rrow);
+      float acc = upsample.conv_out_b[rrow];
+      for (int c = 0; c < compute; ++c) acc += w[c] * x[c];
+      out[rrow] = acc;
+    }
+  }
+
+  // ---- mel upsampling: stretch + channel-shared smoothing ------------------
+  std::vector<float> cur = mel_p;  // (T, F)
+  int t_cur = padded;
+  for (size_t s_i = 0; s_i < upsample.factors.size(); ++s_i) {
+    const int s = upsample.factors[s_i];
+    const auto& kern = upsample.smooth[s_i];
+    const int K = (int)kern.size();
+    const int t_new = t_cur * s;
+    std::vector<float> stretched((size_t)t_new * F);
+    for (int t = 0; t < t_new; ++t)
+      std::memcpy(stretched.data() + (size_t)t * F,
+                  cur.data() + (size_t)(t / s) * F, F * sizeof(float));
+    // conv along time, pad s both sides (K == 2s+1 keeps length)
+    std::vector<float> conv((size_t)t_new * F, 0.f);
+    const int lpad = (K - 1) / 2;
+    for (int t = 0; t < t_new; ++t) {
+      float* out = conv.data() + (size_t)t * F;
+      for (int k = 0; k < K; ++k) {
+        int src = t + k - lpad;
+        if (src < 0 || src >= t_new) continue;
+        const float* xt = stretched.data() + (size_t)src * F;
+        const float wk = kern[k];
+        for (int c = 0; c < F; ++c) out[c] += wk * xt[c];
+      }
+    }
+    cur.swap(conv);
+    t_cur = t_new;
+  }
+  const int indent = pad * scale;
+  const int T = t_cur - 2 * indent;  // samples to generate
+
+  // ---- AR sample loop ------------------------------------------------------
+  const int R = rnn_dims;
+  const int A = aux_dims;
+  const int i_in = I.w.cols();  // 1 + F + (A-1)
+  std::vector<float> x_in(i_in), xg(3 * R), xI(R);
+  std::vector<float> logits(n_classes);
+  std::vector<float> fc_buf((size_t)std::max(n_classes, fc_dims + A));
+  std::vector<float> fc_in((size_t)std::max({R + A, fc_dims + A, fc_dims}));
+  std::vector<float> scratch;
+  std::vector<std::vector<float>> hs(rnns.size(), std::vector<float>(R, 0.f));
+  std::vector<float> wav(T);
+  float sample = 0.f;
+
+  for (int t = 0; t < T; ++t) {
+    const float* m_t = cur.data() + (size_t)(t + indent) * F;
+    const int frame = t / scale;  // aux frame index
+    const float* aux_t = aux.data() + (size_t)frame * res_out;
+    const float* a1 = aux_t;
+    const float* a2 = aux_t + A;
+    const float* a3 = aux_t + 2 * A;
+    const float* a4 = aux_t + 3 * A;
+
+    // input vector [sample, mel_t, a1[:-1]]
+    x_in[0] = sample;
+    std::memcpy(&x_in[1], m_t, F * sizeof(float));
+    std::memcpy(&x_in[1 + F], a1, (A - 1) * sizeof(float));
+    gemv(I, x_in.data(), xI.data());
+
+    auto run_gru = [&](int gi, const float* extra, int extra_n,
+                       const float* state_in) {
+      const Gru& g = rnns[gi];
+      // xg = W_ih · concat(state_in, extra) + b_ih
+      std::vector<float>& in = fc_in;
+      std::memcpy(in.data(), state_in, R * sizeof(float));
+      if (extra_n) std::memcpy(in.data() + R, extra, extra_n * sizeof(float));
+      if (!g.b_ih.empty())
+        std::memcpy(xg.data(), g.b_ih.data(), 3 * R * sizeof(float));
+      else
+        std::memset(xg.data(), 0, 3 * R * sizeof(float));
+      gemv_acc(g.w_ih, in.data(), xg.data());
+      gru_step(g, xg.data(), scratch, hs[gi].data());
+    };
+
+    auto fc = [&](int fi, const float* in_vec, float* out_vec) {
+      gemv(fcs[fi], in_vec, out_vec);
+    };
+    auto relu_vec = [](float* v, int n) {
+      for (int i = 0; i < n; ++i) v[i] = std::max(v[i], 0.f);
+    };
+
+    std::vector<float>& x = xI;  // running activation (R wide)
+    if (variant == FATCHORD) {
+      run_gru(0, nullptr, 0, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
+      run_gru(1, a2, A, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[1][i];
+      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
+      std::memcpy(fc_in.data() + R, a3, A * sizeof(float));
+      fc(0, fc_in.data(), fc_buf.data());
+      relu_vec(fc_buf.data(), fc_dims);
+      std::memcpy(fc_in.data(), fc_buf.data(), fc_dims * sizeof(float));
+      std::memcpy(fc_in.data() + fc_dims, a4, A * sizeof(float));
+      fc(1, fc_in.data(), fc_buf.data());
+      relu_vec(fc_buf.data(), fc_dims);
+      fc(2, fc_buf.data(), logits.data());
+    } else if (variant == GENEING) {
+      run_gru(0, nullptr, 0, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
+      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
+      std::memcpy(fc_in.data() + R, a2, A * sizeof(float));
+      fc(0, fc_in.data(), fc_buf.data());
+      relu_vec(fc_buf.data(), fc_dims);
+      fc(1, fc_buf.data(), logits.data());
+    } else {  // RUNTIMERACER
+      run_gru(0, nullptr, 0, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
+      run_gru(1, nullptr, 0, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[1][i];
+      run_gru(2, a2, A, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[2][i];
+      run_gru(3, nullptr, 0, x.data());
+      for (int i = 0; i < R; ++i) x[i] += hs[3][i];
+      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
+      std::memcpy(fc_in.data() + R, a3, A * sizeof(float));
+      fc(0, fc_in.data(), fc_buf.data());  // fc1: no relu
+      fc(1, fc_buf.data(), fc_in.data()); // fc2
+      relu_vec(fc_in.data(), fc_dims);
+      std::memcpy(fc_buf.data(), fc_in.data(), fc_dims * sizeof(float));
+      std::memcpy(fc_buf.data() + fc_dims, a4, A * sizeof(float));
+      fc(2, fc_buf.data(), fc_in.data());  // fc3: no relu
+      fc(3, fc_in.data(), fc_buf.data());  // fc4
+      relu_vec(fc_buf.data(), fc_dims);
+      fc(4, fc_buf.data(), logits.data());
+    }
+
+    // ---- sampling ----
+    if (mode == MOL) {
+      sample = sample_mol(logits.data(), argmax_sampling);
+    } else if (mode == RAW && variant == GENEING) {
+      sample = sample_beta(logits.data(), argmax_sampling);
+    } else {
+      int label = sample_categorical(logits.data(), n_classes, argmax_sampling);
+      sample = 2.f * label / (n_classes - 1.f) - 1.f;
+    }
+    wav[t] = sample;
+  }
+  return wav;
+}
+
+}  // namespace rtvc
+
+// ---------------------------------------------------------------------------
+// C API (ctypes binding surface; same capabilities as the reference's
+// pybind11 module Vocoder{loadWeights,setRandomSeed,melToWav},
+// ref: WaveRNNVocoder.cpp:51-84)
+// ---------------------------------------------------------------------------
+
+extern "C" {
+
+void* rtvc_vocoder_create() { return new rtvc::Model(); }
+
+void rtvc_vocoder_destroy(void* m) { delete static_cast<rtvc::Model*>(m); }
+
+int rtvc_vocoder_load(void* m, const char* path) {
+  std::string err;
+  bool ok = static_cast<rtvc::Model*>(m)->load(path, &err);
+  if (!ok) fprintf(stderr, "rtvc_vocoder_load: %s\n", err.c_str());
+  return ok ? 0 : 1;
+}
+
+void rtvc_vocoder_set_seed(void* m, uint64_t seed) {
+  static_cast<rtvc::Model*>(m)->set_seed(seed);
+}
+
+int rtvc_vocoder_hop(void* m) { return static_cast<rtvc::Model*>(m)->hop; }
+int rtvc_vocoder_n_classes(void* m) {
+  return static_cast<rtvc::Model*>(m)->n_classes;
+}
+int rtvc_vocoder_mode(void* m) { return static_cast<rtvc::Model*>(m)->mode; }
+
+// mel: (n_mels, n_frames) row-major. Writes up to out_capacity samples,
+// returns the number written (== (n_frames)*hop upsampled interior).
+long rtvc_vocoder_mel_to_wav(void* m, const float* mel, int n_mels,
+                             int n_frames, float* out, long out_capacity,
+                             int argmax) {
+  auto* model = static_cast<rtvc::Model*>(m);
+  if (n_mels != model->feat_dims) {
+    fprintf(stderr, "rtvc_vocoder_mel_to_wav: expected %d mel bins, got %d\n",
+            model->feat_dims, n_mels);
+    return -1;
+  }
+  std::vector<float> wav = model->generate(mel, n_frames, argmax != 0);
+  long n = std::min<long>((long)wav.size(), out_capacity);
+  std::memcpy(out, wav.data(), n * sizeof(float));
+  return n;
+}
+
+}  // extern "C"

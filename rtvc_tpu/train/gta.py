@@ -1,0 +1,93 @@
+"""Ground-truth-aligned (GTA) synthesis for vocoder training.
+
+Runs the trained synthesizer teacher-forced over the whole dataset and saves
+the predicted mels + ``synthesized.json`` metadata (ref:
+synthesizer/synthesize.py:21-152; dropout forced off per :44-56). The vocoder
+then trains on these mels so it learns to fix the synthesizer's artifacts.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvc_tpu.config import synthesizer_paths
+from rtvc_tpu.models import factories
+
+
+def run_synthesis(
+    syn_dir: Path,
+    voc_dir: Path,
+    bundle: factories.SynModel,
+    r: int = 1,
+    batch_size: int = 8,
+    skip_existing: bool = False,
+) -> int:
+    """Teacher-forced synthesis over the dataset → ``mels_gta/*.npy`` +
+    ``synthesized.json``. Returns the number of synthesized utterances."""
+    from rtvc_tpu.data.synthesizer_dataset import SynthesizerDataset, batch_iterator
+    from rtvc_tpu.models.tacotron import tacotron_forward
+
+    syn_dir, voc_dir = Path(syn_dir), Path(voc_dir)
+    gta_dir = voc_dir / synthesizer_paths.gta_mel_dir
+    gta_dir.mkdir(parents=True, exist_ok=True)
+    meta_out = voc_dir / synthesizer_paths.gta_metadata_file
+
+    dataset = SynthesizerDataset(syn_dir, ["mel", "embed"])
+    d = bundle.dims
+
+    existing = (
+        {p.stem for p in gta_dir.glob("*.npy")} if skip_existing else set()
+    )
+
+    @jax.jit
+    def forward(variables, chars, mels, embeds, rng):
+        m1, m2, attn, stop, _ = tacotron_forward(
+            variables, d, chars, mels, embeds, r, rng, train=False
+        )
+        return m1
+
+    metadata = {}
+    if skip_existing and meta_out.exists():
+        metadata = json.loads(meta_out.read_text())
+
+    # utterance id → original train.json line
+    src_lines = {
+        l.split("|")[0]: l
+        for lines in json.loads(
+            (syn_dir / synthesizer_paths.metadata_file).read_text()
+        ).values()
+        for l in lines
+    }
+
+    count = 0
+    rng = jax.random.PRNGKey(0)
+    for batch in batch_iterator(
+        dataset, batch_size, r, shuffle=False, drop_last=False, mel_bucket=2
+    ):
+        ids = [dataset.samples_fnames[i] for i in batch["indices"]]
+        if skip_existing and all(u in existing for u in ids):
+            continue
+        m1 = np.asarray(
+            forward(
+                bundle.variables,
+                jnp.asarray(batch["chars"]),
+                jnp.asarray(batch["mels"]),
+                jnp.asarray(batch["embeds"]),
+                rng,
+            )
+        )
+        for b, utt_id in enumerate(ids):
+            n = int(batch["spec_lens"][b])
+            np.save(gta_dir / f"{utt_id}.npy", m1[b, :, :n].T, allow_pickle=False)
+            # metadata line mirrors train.json's "id|n_samples|n_frames|text"
+            metadata[utt_id] = src_lines.get(utt_id, f"{utt_id}|{n * 200}|{n}|")
+            count += 1
+
+    meta_out.write_text(json.dumps(metadata))
+    print("GTA synthesis wrote %d mels to %s" % (count, gta_dir))
+    return count

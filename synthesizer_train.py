@@ -1,0 +1,46 @@
+"""Train a synthesizer (tacotron / forward-tacotron / fast-pitch)
+(ref: synthesizer_train.py)."""
+import argparse
+from pathlib import Path
+
+from rtvc_tpu.data.synthesizer_dataset import SynthesizerDataset, batch_iterator
+from rtvc_tpu.models import factories
+from rtvc_tpu.train.trainer import train_synthesizer
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    parser.add_argument("run_id", type=str)
+    parser.add_argument(
+        "model_type", type=str, nargs="?", default=factories.MODEL_TYPE_TACOTRON,
+        choices=list(factories.SYN_MODEL_TYPES),
+    )
+    parser.add_argument("syn_dir", type=Path)
+    parser.add_argument("-m", "--models_dir", type=Path, default=Path("saved_models"))
+    parser.add_argument("-s", "--save_every", type=int, default=1000)
+    parser.add_argument("-b", "--backup_every", type=int, default=25000)
+    parser.add_argument("--max_steps", type=int, default=None)
+    args = parser.parse_args()
+
+    elements = factories.get_model_train_elements(args.model_type)
+    dataset = SynthesizerDataset(args.syn_dir, elements)
+    print(dataset.get_logs())
+
+    # Per-session batch size comes from the schedule; the iterator factory
+    # rebuilds loaders per session like the reference
+    # (ref: synthesizer/train.py:172-180).
+    bundle_cfg = factories.init_syn_model(args.model_type).config
+
+    def epoch_batches(session_idx, r):
+        schedule = bundle_cfg.tts_schedule[session_idx]
+        batch_size = schedule[2] if args.model_type == "tacotron" else schedule[1]
+        return batch_iterator(
+            dataset, batch_size=batch_size, r=r, seed=session_idx
+        )
+
+    train_synthesizer(
+        args.run_id, args.model_type, args.syn_dir, args.models_dir,
+        epoch_batches, save_every=args.save_every,
+        backup_every=args.backup_every, max_steps=args.max_steps,
+    )

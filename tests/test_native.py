@@ -1,0 +1,172 @@
+"""Native C++ engine tests: build, export, and deterministic (argmax)
+cross-implementation parity against the JAX path."""
+import subprocess
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtvc_tpu.models.wavernn import (
+    VOC_FATCHORD,
+    VOC_GENEING,
+    VOC_RUNTIMERACER,
+    WaveRNNDims,
+    generate_core,
+    init_wavernn,
+    upsample_forward,
+)
+from rtvc_tpu.native.convert import export_wavernn
+
+NATIVE_DIR = Path(__file__).resolve().parents[1] / "rtvc_tpu" / "native"
+LIB = NATIVE_DIR / "build" / "librtvc_wavernn.so"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    if not LIB.exists():
+        subprocess.run([str(NATIVE_DIR / "build.sh")], check=True)
+    yield
+
+
+def _dims(variant, mode="RAW", bits=6):
+    return WaveRNNDims(
+        variant=variant, mode=mode, rnn_dims=16, fc_dims=16, bits=bits, pad=2,
+        upsample_factors=(2, 2, 5), feat_dims=10, compute_dims=8,
+        res_out_dims=16, res_blocks=2, hop_length=20, sample_rate=1000,
+    )
+
+
+def _jax_argmax_generate(variables, d, mel):
+    mels = jnp.asarray(mel[None])
+    mels = jnp.pad(mels, ((0, 0), (0, 0), (d.pad, d.pad)))
+    mu, aux, _ = upsample_forward(
+        variables["params"]["upsample"], variables["batch_stats"]["upsample"],
+        d, mels, train=False,
+    )
+    return np.asarray(
+        generate_core(variables, d, mu, aux, jax.random.PRNGKey(0), argmax=True)
+    )[0]
+
+
+def _native_generate(weights_path, mel, argmax=True, seed=3):
+    from rtvc_tpu.native.libwavernn import _Instance, _load_lib
+
+    lib = _load_lib()
+    inst = _Instance(lib, weights_path)
+    inst.set_seed(seed)
+    return inst.mel_to_wav(mel, argmax=argmax)
+
+
+class TestNativeParity:
+    @pytest.mark.parametrize(
+        "variant,mode",
+        [
+            (VOC_RUNTIMERACER, "RAW"),
+            (VOC_FATCHORD, "RAW"),
+            (VOC_GENEING, "BITS"),
+        ],
+    )
+    def test_argmax_waveform_matches_jax(self, tmp_path, variant, mode):
+        d = _dims(variant, mode)
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        weights = tmp_path / "model.bin"
+        export_wavernn(variables, d, weights)
+
+        rng = np.random.default_rng(0)
+        mel = rng.uniform(-1, 1, (d.feat_dims, 12)).astype(np.float32)
+
+        expected = _jax_argmax_generate(variables, d, mel)
+        got = _native_generate(weights, mel, argmax=True)
+
+        assert got.shape == expected.shape, (got.shape, expected.shape)
+        # greedy decode: identical label choices → identical samples
+        mismatches = np.mean(got != expected.astype(np.float32))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+        assert mismatches < 0.05 or np.allclose(got, expected, atol=1e-5)
+
+    def test_sparse_export_roundtrip(self, tmp_path):
+        """Pruned (group-sparse) weights export compactly and still match."""
+        from rtvc_tpu.train.pruning import apply_prune_masks, compute_prune_masks
+
+        d = _dims(VOC_RUNTIMERACER)
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        masks = compute_prune_masks(
+            variables["params"], d, jnp.asarray(100), 0, 100, 0.7, 0.7, 4
+        )
+        variables = {
+            "params": apply_prune_masks(variables["params"], masks),
+            "batch_stats": variables["batch_stats"],
+        }
+        dense_path = tmp_path / "dense.bin"
+        export_wavernn(variables, d, dense_path)
+
+        rng = np.random.default_rng(1)
+        mel = rng.uniform(-1, 1, (d.feat_dims, 10)).astype(np.float32)
+        expected = _jax_argmax_generate(variables, d, mel)
+        got = _native_generate(dense_path, mel, argmax=True)
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_stochastic_seed_determinism(self, tmp_path):
+        d = _dims(VOC_RUNTIMERACER)
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        weights = tmp_path / "model.bin"
+        export_wavernn(variables, d, weights)
+        mel = np.random.default_rng(0).uniform(-1, 1, (d.feat_dims, 8)).astype(np.float32)
+        w1 = _native_generate(weights, mel, argmax=False, seed=42)
+        w2 = _native_generate(weights, mel, argmax=False, seed=42)
+        w3 = _native_generate(weights, mel, argmax=False, seed=43)
+        np.testing.assert_array_equal(w1, w2)
+        assert not np.array_equal(w1, w3)
+
+
+class TestVocoderWrapper:
+    def test_vocode_mel_end_to_end(self, tmp_path):
+        """Full wrapper path: fold → native chunks → unfold → decode."""
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.native import libwavernn
+
+        cfg = WaveRNNParams(
+            rnn_dims=16, fc_dims=16, compute_dims=8, res_out_dims=16,
+            res_blocks=2, bits=6, gen_target=400, gen_overlap=200,
+        )
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_RUNTIMERACER, override_hp=cfg
+        )
+        weights = tmp_path / "voc.bin"
+        export_wavernn(bundle.variables, bundle.dims, weights)
+
+        voc = libwavernn.Vocoder(weights, "runtimeracer-wavernn", verbose=False)
+        voc.cfg = cfg
+        voc.load(n_threads=2)
+        voc.setRandomSeed(7)
+
+        mel = np.random.default_rng(0).uniform(-4, 4, (80, 30)).astype(np.float32)
+        wav = voc.vocode_mel(mel, normalize=True)
+        assert wav.shape == ((30 - 1) * 200,)
+        assert np.isfinite(wav).all()
+
+    def test_cli_tool(self, tmp_path):
+        import struct
+
+        d = _dims(VOC_RUNTIMERACER)
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        weights = tmp_path / "model.bin"
+        export_wavernn(variables, d, weights)
+        mel = np.random.default_rng(0).uniform(-1, 1, (d.feat_dims, 8)).astype(np.float32)
+        mel_path = tmp_path / "mel.raw"
+        with open(mel_path, "wb") as f:
+            f.write(struct.pack("<ii", *mel.shape))
+            f.write(np.ascontiguousarray(mel).tobytes())
+        out_path = tmp_path / "out.raw"
+        res = subprocess.run(
+            [str(NATIVE_DIR / "build" / "rtvc_vocoder"), "-w", str(weights),
+             "-m", str(mel_path), "-o", str(out_path), "--argmax"],
+            capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr
+        wav = np.fromfile(out_path, dtype=np.float32)
+        assert len(wav) == 8 * d.hop_length

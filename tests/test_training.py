@@ -279,3 +279,31 @@ class TestVocoderTraining:
         params = out["variables"]["params"]
         w = np.asarray(params["fc1"]["weight"])
         assert (w == 0).mean() > 0.3
+
+
+class TestGTASynthesis:
+    def test_run_synthesis_writes_gta_mels(self, tmp_path):
+        from rtvc_tpu.config.synthesizer import TacotronParams
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.train.gta import run_synthesis
+
+        syn_dir = _make_synth_dataset(tmp_path / "syn")
+        cfg = TacotronParams(
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, lstm_dims=16, postnet_K=2, num_highways=2,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=cfg
+        )
+        voc_dir = tmp_path / "voc"
+        n = run_synthesis(syn_dir, voc_dir, bundle, r=2, batch_size=3)
+        assert n == 6
+        import json as _json
+
+        meta = _json.loads((voc_dir / "synthesized.json").read_text())
+        assert len(meta) == 6
+        # GTA mels readable by the vocoder dataset (stored (T, 80))
+        import numpy as _np
+
+        first = _np.load(next((voc_dir / "mels_gta").glob("*.npy")))
+        assert first.shape[1] == 80
