@@ -546,10 +546,24 @@ def generate_core(
     aux: jax.Array,
     key: jax.Array,
     argmax: bool = False,
+    compute_dtype: Any = jnp.float32,
 ) -> jax.Array:
     """Run the AR sample loop over upsampled conditioning (B, T, ·) →
-    samples (B, T) in [-1, 1]. jit-compiled per (B, T) shape."""
+    samples (B, T) in [-1, 1]. jit-compiled per (B, T) shape.
+
+    ``compute_dtype=jnp.bfloat16`` halves the per-step HBM weight traffic —
+    the dominant cost of the sequential loop on TPU (weights re-stream from
+    HBM every scan iteration); matmuls still accumulate in fp32 and the
+    sampler runs in fp32."""
     p = variables["params"]
+    if compute_dtype != jnp.float32:
+        cast = lambda t: jax.tree_util.tree_map(
+            lambda x: x.astype(compute_dtype)
+            if isinstance(x, jax.Array) and x.dtype == jnp.float32 else x, t,
+        )
+        p = cast(p)
+        mels_up = mels_up.astype(compute_dtype)
+        aux = aux.astype(compute_dtype)
     aux_d = d.aux_dims
     splits = [aux[:, :, aux_d * i : aux_d * (i + 1)] for i in range(d.n_aux_splits)]
     pre = _hoist_aux(p, d, mels_up, splits)
@@ -635,23 +649,27 @@ def generate_core(
 
         step_pre_names = ["rnn3_aux", "fc1_aux", "fc3_aux"]
 
-    # Scan inputs: per-step precomputed projections, time-major.
+    # Scan inputs: per-step precomputed projections, time-major (and in the
+    # compute dtype so the streamed conditioning matches the weight traffic).
     xs = {
-        "i_cond": jnp.swapaxes(pre["i_cond"], 0, 1),
+        "i_cond": jnp.swapaxes(pre["i_cond"], 0, 1).astype(compute_dtype),
         "key": jax.random.split(key, T),
     }
     for nm in step_pre_names:
-        xs[nm] = jnp.swapaxes(pre[nm], 0, 1)
+        xs[nm] = jnp.swapaxes(pre[nm], 0, 1).astype(compute_dtype)
 
     h0 = tuple(jnp.zeros((B, R)) for _ in range(4))
 
     def body(carry, t_in):
         prev, h_states = carry
-        x = t_in["i_cond"] + prev[:, None] * pre["i_prev_col"][None, :]
+        x = t_in["i_cond"] + (
+            prev.astype(compute_dtype)[:, None] * pre["i_prev_col"][None, :]
+        )
         logits, h_states = cell(x, h_states, t_in)
-        sample = _sample_step(d, logits, t_in["key"], argmax)
+        sample = _sample_step(d, logits.astype(jnp.float32), t_in["key"], argmax)
         return (sample, h_states), sample
 
+    h0 = tuple(h.astype(compute_dtype) for h in h0)
     (_, _), samples = jax.lax.scan(body, (jnp.zeros(B), h0), xs)
     return jnp.swapaxes(samples, 0, 1)  # (B, T)
 

@@ -1,6 +1,7 @@
 """Preprocessing tests: DSP helpers (logmmse/pitch), DP duration extraction
 vs a Dijkstra oracle, and the full 3-pass pipeline on a synthetic corpus."""
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -228,3 +229,82 @@ class TestFullPreprocessingPipeline:
         ds = SpeakerVerificationDataset(out_dir)
         batch = ds.speakers[0].random_partial(2, 20)
         assert batch[0][1].shape == (20, 40)
+
+
+class TestArtifacts:
+    def test_plots_render(self, tmp_path):
+        from rtvc_tpu.utils.plots import (
+            save_attention,
+            save_mel_comparison,
+            save_series_grid,
+            save_spectrogram,
+            save_wave_comparison,
+        )
+
+        rng = np.random.default_rng(0)
+        att = rng.random((30, 10))
+        mel = rng.uniform(-4, 4, (80, 30))
+        assert save_attention(att, tmp_path / "att").exists()
+        assert save_spectrogram(mel, tmp_path / "mel").exists()
+        assert save_mel_comparison(mel, mel, tmp_path / "cmp").exists()
+        assert save_series_grid(
+            [rng.random(20), rng.random(20)], ["a", "b"], tmp_path / "grid"
+        ).exists()
+        assert save_wave_comparison(
+            [rng.random(100) * 2 - 1] * 3, ["t", "g", "w"], tmp_path / "wave"
+        ).exists()
+
+    def test_gen_testset(self, tmp_path):
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.data.vocoder_dataset import VocoderDataset
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.train.gen_testset import gen_testset
+        from tests.test_training import _make_vocoder_dataset
+
+        cfg = WaveRNNParams(
+            rnn_dims=16, fc_dims=16, compute_dims=8, res_out_dims=16,
+            res_blocks=1, bits=6, gen_target=400, gen_overlap=200,
+        )
+        root = _make_vocoder_dataset(tmp_path / "voc")
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_FATCHORD, override_hp=cfg
+        )
+        dataset = VocoderDataset(
+            root / "synthesized.json", root / "mels_gta", root / "wav", cfg
+        )
+        gen_testset(
+            bundle.variables, bundle.dims, cfg, dataset,
+            tmp_path / "samples", step=100, samples=1,
+        )
+        files = sorted(p.name for p in (tmp_path / "samples").glob("*"))
+        assert "100_0_target.wav" in files
+        assert "100_0_griffinlim.wav" in files
+        assert "100_0_generated.wav" in files
+        assert "100_0_compare.png" in files
+
+    def test_textgrid_parser(self, tmp_path):
+        import sys
+        sys.path.insert(0, str(Path("scripts").resolve()))
+        from textgrid_to_alignments import parse_textgrid_words
+
+        tg = '''File type = "ooTextFile"
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.5
+            text = ""
+        intervals [2]:
+            xmin = 0.5
+            xmax = 1.2
+            text = "hello"
+        intervals [3]:
+            xmin = 1.2
+            xmax = 1.4
+            text = ""
+'''
+        words, ends = parse_textgrid_words(tg)
+        assert words == ["", "hello", ""]
+        assert ends == [0.5, 1.2, 1.4]
