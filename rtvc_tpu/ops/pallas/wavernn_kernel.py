@@ -1,0 +1,399 @@
+"""Pallas TPU kernel: fused WaveRNN autoregressive sample loop.
+
+The hottest loop in the framework (SURVEY.md §7 "hard parts"): one GRU-stack
+step + sampling per audio sample, ~8000 sequential steps per fold window.
+The XLA `lax.scan` path re-streams every weight matrix from HBM on every
+step; this kernel pins ALL weights in VMEM for the whole waveform and streams
+only the per-step conditioning projections, which Pallas double-buffers
+automatically through the sequential grid:
+
+  * grid = time tiles (sequential on TPU); recurrent state (GRU hiddens,
+    previous sample) lives in VMEM scratch, which persists across grid steps;
+  * weights use constant index_maps — fetched into VMEM once, reused by
+    every tile;
+  * per-tile conditioning blocks (i_cond / aux projections) stream
+    HBM→VMEM via BlockSpecs;
+  * sampling runs in-kernel: greedy argmax, or Gumbel argmax over the
+    per-core TPU PRNG (`pltpu.prng_*`) for stochastic decoding.
+
+Modes: RAW/BITS categorical heads (fatchord/runtimeracer/geneing-BITS).
+MOL/beta heads keep the XLA path. Weight layout is the same hoisted form
+``generate_core`` uses, so the two backends are interchangeable per call.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtvc_tpu.models.wavernn import (
+    VOC_FATCHORD,
+    VOC_GENEING,
+    VOC_RUNTIMERACER,
+    WaveRNNDims,
+    _hoist_aux,
+)
+
+_TILE = 128  # time steps per grid iteration
+_B_PAD = 8   # fold batch padded to the sublane count
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad2(x: jax.Array, rows: int, cols: int) -> jax.Array:
+    return jnp.zeros((rows, cols), x.dtype).at[: x.shape[0], : x.shape[1]].set(x)
+
+
+def _gru_gates(xg, hg, H):
+    r = jax.nn.sigmoid(xg[:, :H] + hg[:, :H])
+    z = jax.nn.sigmoid(xg[:, H : 2 * H] + hg[:, H : 2 * H])
+    n = jnp.tanh(xg[:, 2 * H :] + r * hg[:, 2 * H :])
+    return z, n
+
+
+def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
+                 R: int, C: int):
+    """Build the kernel body for one variant. R = padded rnn dims,
+    C = padded n_classes."""
+    H = d.rnn_dims
+    n_rnns = {VOC_FATCHORD: 2, VOC_GENEING: 1, VOC_RUNTIMERACER: 4}[d.variant]
+
+    def kernel(*refs):
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        if d.variant == VOC_FATCHORD:
+            (seed_ref, i_cond, rnn2_aux, fc1_aux, fc2_aux,
+             i_col, rnn1_wx, rnn1_whh, rnn1_bih, rnn1_bhh,
+             rnn2_wx, rnn2_whh, rnn2_bhh,
+             fc1_wx, fc2_wx, fc3_w, fc3_b,
+             out_ref, h_scr, prev_scr) = refs
+            streams = {"rnn2_aux": rnn2_aux, "fc1_aux": fc1_aux,
+                       "fc2_aux": fc2_aux}
+        elif d.variant == VOC_GENEING:
+            (seed_ref, i_cond, fc1_aux,
+             i_col, rnn1_wx, rnn1_whh, rnn1_bih, rnn1_bhh,
+             fc1_wx, fc3_w, fc3_b,
+             out_ref, h_scr, prev_scr) = refs
+            streams = {"fc1_aux": fc1_aux}
+        else:
+            (seed_ref, i_cond, rnn3_aux, fc1_aux, fc3_aux,
+             i_col, rnn1_wx, rnn1_whh, rnn1_bih, rnn1_bhh,
+             rnn2_wx, rnn2_whh, rnn2_bih, rnn2_bhh,
+             rnn3_wx, rnn3_whh, rnn3_bhh,
+             rnn4_wx, rnn4_whh, rnn4_bih, rnn4_bhh,
+             fc1_wx, fc2_w, fc2_b, fc3_wx, fc4_w, fc4_b, fc5_w, fc5_b,
+             out_ref, h_scr, prev_scr) = refs
+            streams = {"rnn3_aux": rnn3_aux, "fc1_aux": fc1_aux,
+                       "fc3_aux": fc3_aux}
+
+        tile = pl.program_id(0)
+
+        @pl.when(tile == 0)
+        def _init():
+            h_scr[:] = jnp.zeros_like(h_scr)
+            prev_scr[:] = jnp.zeros_like(prev_scr)
+
+        if not argmax:
+            pltpu.prng_seed(seed_ref[0, 0] + tile)
+
+        def mm(x, w):
+            return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+        def gru(x, h, wx, whh, bhh_full):
+            # wx: (R, 3R) input-side weights (bias already folded into the
+            # streamed aux for concat-GRUs, or provided in bhh_full otherwise)
+            xg = mm(x, wx[:])
+            hg = mm(h, whh[:]) + bhh_full
+            return xg, hg
+
+        def step(k, _):
+            prev = prev_scr[0]  # (B_pad,) in VMEM scratch row
+            x = i_cond[k] + prev[:, None] * i_col[0][None, :]
+
+            def read_h(i):
+                return h_scr[i]
+
+            def write_h(i, v):
+                h_scr[i] = v
+
+            if d.variant == VOC_FATCHORD:
+                h1 = read_h(0)
+                xg = mm(x, rnn1_wx[:]) + rnn1_bih[0]
+                hg = mm(h1, rnn1_whh[:]) + rnn1_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h1 = (1.0 - z) * n + z * h1
+                write_h(0, h1)
+                x = x + h1
+                h2 = read_h(1)
+                xg = mm(x, rnn2_wx[:]) + streams["rnn2_aux"][k]
+                hg = mm(h2, rnn2_whh[:]) + rnn2_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h2 = (1.0 - z) * n + z * h2
+                write_h(1, h2)
+                x = x + h2
+                f = jnp.maximum(mm(x, fc1_wx[:]) + streams["fc1_aux"][k], 0.0)
+                f = jnp.maximum(mm(f, fc2_wx[:]) + streams["fc2_aux"][k], 0.0)
+                logits = mm(f, fc3_w[:]) + fc3_b[0]
+            elif d.variant == VOC_GENEING:
+                h1 = read_h(0)
+                xg = mm(x, rnn1_wx[:]) + rnn1_bih[0]
+                hg = mm(h1, rnn1_whh[:]) + rnn1_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h1 = (1.0 - z) * n + z * h1
+                write_h(0, h1)
+                x = x + h1
+                f = jnp.maximum(mm(x, fc1_wx[:]) + streams["fc1_aux"][k], 0.0)
+                logits = mm(f, fc3_w[:]) + fc3_b[0]
+            else:
+                h1 = read_h(0)
+                xg = mm(x, rnn1_wx[:]) + rnn1_bih[0]
+                hg = mm(h1, rnn1_whh[:]) + rnn1_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h1 = (1.0 - z) * n + z * h1
+                write_h(0, h1)
+                x = x + h1
+                h2 = read_h(1)
+                xg = mm(x, rnn2_wx[:]) + rnn2_bih[0]
+                hg = mm(h2, rnn2_whh[:]) + rnn2_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h2 = (1.0 - z) * n + z * h2
+                write_h(1, h2)
+                x = x + h2
+                h3 = read_h(2)
+                xg = mm(x, rnn3_wx[:]) + streams["rnn3_aux"][k]
+                hg = mm(h3, rnn3_whh[:]) + rnn3_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h3 = (1.0 - z) * n + z * h3
+                write_h(2, h3)
+                x = x + h3
+                h4 = read_h(3)
+                xg = mm(x, rnn4_wx[:]) + rnn4_bih[0]
+                hg = mm(h4, rnn4_whh[:]) + rnn4_bhh[0]
+                z, n = _gru_gates(xg, hg, R)
+                h4 = (1.0 - z) * n + z * h4
+                write_h(3, h4)
+                x = x + h4
+                f = mm(x, fc1_wx[:]) + streams["fc1_aux"][k]
+                f = jnp.maximum(mm(f, fc2_w[:]) + fc2_b[0], 0.0)
+                f = mm(f, fc3_wx[:]) + streams["fc3_aux"][k]
+                f = jnp.maximum(mm(f, fc4_w[:]) + fc4_b[0], 0.0)
+                logits = mm(f, fc5_w[:]) + fc5_b[0]
+
+            # mask padded class columns so they never win the argmax
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            logits = jnp.where(col < d.n_classes, logits, -1e30)
+
+            if not argmax:
+                bits = pltpu.prng_random_bits(logits.shape)
+                u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
+                u = jnp.clip(u, 1e-9, 1.0 - 1e-9)
+                logits = logits - jnp.log(-jnp.log(u))
+            label = jnp.argmax(logits, axis=1).astype(jnp.float32)
+            sample = 2.0 * label / (d.n_classes - 1.0) - 1.0
+            prev_scr[0] = sample
+            out_ref[k] = sample
+            return 0
+
+        jax.lax.fori_loop(0, _TILE, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("d", "argmax", "interpret"))
+def generate_core_pallas(
+    variables: Dict,
+    d: WaveRNNDims,
+    mels_up: jax.Array,
+    aux: jax.Array,
+    key: jax.Array,
+    argmax: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas-fused AR sample loop: (B, T, ·) conditioning → samples (B, T).
+
+    Drop-in for ``generate_core`` on RAW/BITS categorical heads.
+    """
+    from jax.experimental import pallas as pl
+
+    assert not (d.mode == "MOL" or (d.mode == "RAW" and d.variant == VOC_GENEING)), (
+        "MOL/beta heads use the XLA path"
+    )
+
+    p = variables["params"]
+    B, T, _ = mels_up.shape
+    aux_d = d.aux_dims
+    splits = [aux[:, :, aux_d * i : aux_d * (i + 1)] for i in range(d.n_aux_splits)]
+    pre = _hoist_aux(p, d, mels_up, splits)
+
+    R = _round_up(d.rnn_dims, 128)
+    C = _round_up(d.n_classes, 128)
+    F = _round_up(d.fc_dims, 128)
+    Bp = _round_up(B, _B_PAD)
+    Tp = _round_up(T, _TILE)
+    n_tiles = Tp // _TILE
+
+    def pad_steps(x, width):
+        # (B, T, w) → (Tp, Bp, width) time-major padded
+        out = jnp.zeros((Tp, Bp, width), jnp.float32)
+        return out.at[:T, :B, : x.shape[2]].set(jnp.swapaxes(x, 0, 1))
+
+    seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
+
+    # Common tensors
+    i_cond = pad_steps(pre["i_cond"], R)
+    i_col = _pad2(pre["i_prev_col"][None, :], 1, R)
+
+    # NB: padded gate layout must keep the three H-sized gates at offsets
+    # 0/R/2R, so pad each gate section independently.
+    def pad_gates(w_t):  # w_t: (in, 3H)
+        H = d.rnn_dims
+        parts = [w_t[:, i * H : (i + 1) * H] for i in range(3)]
+        return jnp.concatenate([_pad2(q, w_t.shape[0], R) for q in parts], 1)
+
+    def pad_gates_rows(w_t, rows):
+        return _pad2(pad_gates(w_t), rows, 3 * R)
+
+    def gru_tensors(name):
+        """Plain GRU: b_ih goes into the input projection, b_hh into the
+        hidden projection (torch keeps b_hn INSIDE the reset product)."""
+        wih_t = p[name]["weight_ih_l0"].T  # (I, 3H)
+        whh_t = p[name]["weight_hh_l0"].T  # (H, 3H)
+        return (
+            pad_gates_rows(wih_t, R),
+            pad_gates_rows(whh_t, R),
+            _pad2(pad_gates(p[name]["bias_ih_l0"][None, :]), 1, 3 * R),
+            _pad2(pad_gates(p[name]["bias_hh_l0"][None, :]), 1, 3 * R),
+        )
+
+    def gru_tensors_concat(name, wx_key, aux_key):
+        """Concat-input GRU: streamed aux already carries b_ih; the kernel
+        adds b_hh separately. The streamed projection is padded per gate
+        section so gates stay at offsets 0/R/2R."""
+        wx = pre[wx_key]  # (H, 3H)
+        whh_t = p[name]["weight_hh_l0"].T
+        bhh = p[name]["bias_hh_l0"][None, :]
+        sa = pre[aux_key]  # (B, T, 3H)
+        H = d.rnn_dims
+        stream = jnp.zeros((Tp, Bp, 3 * R), jnp.float32)
+        for i in range(3):
+            stream = stream.at[:T, :B, i * R : i * R + H].set(
+                jnp.swapaxes(sa[:, :, i * H : (i + 1) * H], 0, 1)
+            )
+        return (
+            pad_gates_rows(wx, R),
+            pad_gates_rows(whh_t, R),
+            _pad2(pad_gates(bhh), 1, 3 * R),
+            stream,
+        )
+
+    out_shape = jax.ShapeDtypeStruct((Tp, Bp), jnp.float32)
+
+    try:
+        from jax.experimental.pallas import tpu as pltpu
+
+        vmem = pltpu.VMEM
+        scratch = [
+            pltpu.VMEM(
+                ({VOC_FATCHORD: 2, VOC_GENEING: 1, VOC_RUNTIMERACER: 4}[d.variant],
+                 Bp, R), jnp.float32,
+            ),
+            pltpu.VMEM((1, Bp), jnp.float32),
+        ]
+    except ImportError:  # pragma: no cover
+        vmem = None
+        scratch = []
+
+    def stream_spec(width):
+        return pl.BlockSpec((_TILE, Bp, width), lambda i: (i, 0, 0),
+                            memory_space=vmem)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i: (0,) * nd, memory_space=vmem)
+
+    seed_arr = jnp.asarray([[seed]], jnp.int32)
+    if vmem is not None:
+        from jax.experimental.pallas import tpu as pltpu
+
+        seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                 memory_space=pltpu.SMEM)
+    else:  # pragma: no cover
+        seed_spec = pl.BlockSpec((1, 1), lambda i: (0, 0))
+
+    if d.variant == VOC_FATCHORD:
+        r1 = gru_tensors("rnn1")
+        r2wx, r2whh, r2bhh, r2stream = gru_tensors_concat("rnn2", "rnn2_wx", "rnn2_aux")
+        fc1_stream = pad_steps(pre["fc1_aux"], F)
+        fc2_stream = pad_steps(pre["fc2_aux"], F)
+        inputs = [
+            seed_arr, i_cond, r2stream, fc1_stream, fc2_stream,
+            i_col, r1[0], r1[1], r1[2], r1[3],
+            r2wx, r2whh, r2bhh,
+            _pad2(pre["fc1_wx"], R, F), _pad2(pre["fc2_wx"], F, F),
+            _pad2(p["fc3"]["weight"].T, F, C),
+            _pad2(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+        ]
+        stream_widths = [R, 3 * R, F, F]
+    elif d.variant == VOC_GENEING:
+        r1 = gru_tensors("rnn1")
+        fc1_stream = pad_steps(pre["fc1_aux"], F)
+        inputs = [
+            seed_arr, i_cond, fc1_stream,
+            i_col, r1[0], r1[1], r1[2], r1[3],
+            _pad2(pre["fc1_wx"], R, F),
+            _pad2(p["fc3"]["weight"].T, F, C),
+            _pad2(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+        ]
+        stream_widths = [R, F]
+    else:
+        r1 = gru_tensors("rnn1")
+        r2 = gru_tensors("rnn2")
+        r3wx, r3whh, r3bhh, r3stream = gru_tensors_concat("rnn3", "rnn3_wx", "rnn3_aux")
+        r4 = gru_tensors("rnn4")
+        fc1_stream = pad_steps(pre["fc1_aux"], F)
+        fc3_stream = pad_steps(pre["fc3_aux"], F)
+        inputs = [
+            seed_arr, i_cond, r3stream, fc1_stream, fc3_stream,
+            i_col, r1[0], r1[1], r1[2], r1[3],
+            r2[0], r2[1], r2[2], r2[3],
+            r3wx, r3whh, r3bhh,
+            r4[0], r4[1], r4[2], r4[3],
+            _pad2(pre["fc1_wx"], R, F),
+            _pad2(p["fc2"]["weight"].T, F, F),
+            _pad2(p["fc2"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
+            _pad2(pre["fc3_wx"], F, F),
+            _pad2(p["fc4"]["weight"].T, F, F),
+            _pad2(p["fc4"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
+            _pad2(p["fc5"]["weight"].T, F, C),
+            _pad2(p["fc5"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+        ]
+        stream_widths = [R, 3 * R, F, F]
+
+    in_specs = [seed_spec]
+    si = 0
+    for x in inputs[1:]:
+        if x.ndim == 3:  # streamed per-step tensor
+            in_specs.append(stream_spec(stream_widths[si]))
+            si += 1
+        else:
+            in_specs.append(const_spec(x.shape))
+
+    kernel = _make_kernel(d, Bp, T, n_tiles, argmax, R, C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((_TILE, Bp), lambda i: (i, 0),
+                               memory_space=vmem),
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+
+    return jnp.swapaxes(out, 0, 1)[:B, :T]

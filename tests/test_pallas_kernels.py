@@ -31,3 +31,51 @@ class TestMelKernel:
                                                interpret=True))
         expected = np.asarray(melspectrogram(wav, sp, preprocessing))
         np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+class TestWaveRNNKernel:
+    def _dims(self, variant, mode="RAW"):
+        from rtvc_tpu.models.wavernn import WaveRNNDims
+
+        return WaveRNNDims(
+            variant=variant, mode=mode, rnn_dims=16, fc_dims=16, bits=6,
+            pad=2, upsample_factors=(2, 2, 5), feat_dims=10, compute_dims=8,
+            res_out_dims=16, res_blocks=1, hop_length=20, sample_rate=1000,
+        )
+
+    def _parity(self, variant, mode):
+        from rtvc_tpu.models.wavernn import (
+            generate_core,
+            init_wavernn,
+            upsample_forward,
+        )
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        d = self._dims(variant, mode)
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(0)
+        mel = jnp.asarray(rng.uniform(-1, 1, (2, d.feat_dims, 12)), jnp.float32)
+        mels = jnp.pad(mel, ((0, 0), (0, 0), (d.pad, d.pad)))
+        mu, aux, _ = upsample_forward(
+            variables["params"]["upsample"],
+            variables["batch_stats"]["upsample"], d, mels, train=False,
+        )
+        expected = np.asarray(
+            generate_core(variables, d, mu, aux, jax.random.PRNGKey(1),
+                          argmax=True)
+        )
+        got = np.asarray(
+            generate_core_pallas(variables, d, mu, aux, jax.random.PRNGKey(1),
+                                 argmax=True, interpret=True)
+        )
+        assert got.shape == expected.shape
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+    def test_runtimeracer_matches_xla(self):
+        self._parity("runtimeracer-wavernn", "RAW")
+
+    def test_fatchord_matches_xla(self):
+        self._parity("fatchord-wavernn", "RAW")
+
+    def test_geneing_bits_matches_xla(self):
+        self._parity("geneing-wavernn", "BITS")
