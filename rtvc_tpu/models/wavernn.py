@@ -666,6 +666,8 @@ def generate_core(
             prev.astype(compute_dtype)[:, None] * pre["i_prev_col"][None, :]
         )
         logits, h_states = cell(x, h_states, t_in)
+        # matmuls accumulate fp32; keep the carry in the compute dtype
+        h_states = tuple(h.astype(compute_dtype) for h in h_states)
         sample = _sample_step(d, logits.astype(jnp.float32), t_in["key"], argmax)
         return (sample, h_states), sample
 

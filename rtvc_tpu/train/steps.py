@@ -50,11 +50,11 @@ def make_encoder_train_step(model: SpeakerEncoder, optimizer: optax.GradientTran
             all_params["similarity"]["similarity_weight"],
             all_params["similarity"]["similarity_bias"],
         )
-        return loss, sim
+        return loss, (sim, embeds)
 
     @jax.jit
     def step(params, opt_state, inputs):
-        (loss, sim), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, inputs)
+        (loss, (sim, embeds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, inputs)
         # Gradient scale on similarity params (ref: encoder/model.py:36-37)
         grads["similarity"] = jax.tree_util.tree_map(
             lambda g: g * 0.01, grads["similarity"]
@@ -65,7 +65,7 @@ def make_encoder_train_step(model: SpeakerEncoder, optimizer: optax.GradientTran
         grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "grad_norm": gnorm}, sim
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}, sim, embeds
 
     return step
 

@@ -133,6 +133,8 @@ def train_encoder(
     resume: bool = True,
     profile: bool = False,
     model=None,
+    projection_hook=None,
+    projection_every: int = 0,
 ) -> Dict[str, Any]:
     """GE2E training loop (ref: encoder/train.py:11-163)."""
     from rtvc_tpu.models.speaker_encoder import (
@@ -179,7 +181,7 @@ def train_encoder(
             break
         t0 = time.perf_counter()
         profiler.tick("data fetch")
-        params, opt_state, stats, sim = step_fn(params, opt_state, jnp.asarray(batch))
+        params, opt_state, stats, sim, embeds = step_fn(params, opt_state, jnp.asarray(batch))
         loss = float(stats["loss"])
         profiler.tick("forward+backward+step")
         step += 1
@@ -191,6 +193,9 @@ def train_encoder(
             logged["eer"] = compute_eer(np.asarray(sim), speakers_per_batch)
         metrics.log(step, logged)
         last_metrics = logged
+        if projection_hook is not None and projection_every > 0 \
+                and step % projection_every == 0:
+            projection_hook(step, np.asarray(embeds).reshape(-1, embeds.shape[-1]))
         stream(
             "Step %d | loss %.4f (avg %.4f) | %.2f steps/s "
             % (step, loss, loss_window.average, 1.0 / max(time_window.average, 1e-9))
