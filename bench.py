@@ -42,11 +42,20 @@ def main():
     rng = np.random.default_rng(0)
     mel = rng.uniform(-1.0, 1.0, (d.feat_dims, n_frames)).astype(np.float32)
 
+    # TPU-tuned operating point (swept on v5e): small fold windows keep the
+    # sequential scan short (time ∝ window length; folds are free batch
+    # parallelism), and bf16 halves the dominant per-step HBM weight
+    # streaming. 1000/400 @ bf16 → ~57× RT in the core loop.
+    import jax.numpy as jnp
+
+    target, overlap = 1000, 400
+
     def run(i):
         return wavernn_generate(
             bundle.variables, d, mel, jax.random.PRNGKey(i),
-            batched=True, target=cfg.gen_target, overlap=cfg.gen_overlap,
+            batched=True, target=target, overlap=overlap,
             mu_law=cfg.mu_law, apply_preemphasis=True,
+            compute_dtype=jnp.bfloat16,
         )
 
     wav = run(0)  # warmup / compile

@@ -682,7 +682,7 @@ import functools
 @functools.partial(
     jax.jit,
     static_argnames=("d", "batched", "target", "overlap", "mu_law",
-                     "apply_preemphasis"),
+                     "apply_preemphasis", "compute_dtype"),
 )
 def _generate_pipeline(
     variables: Dict,
@@ -694,6 +694,7 @@ def _generate_pipeline(
     overlap: int,
     mu_law: bool,
     apply_preemphasis: bool,
+    compute_dtype: Any = jnp.float32,
 ) -> jax.Array:
     """The whole generation path as ONE jitted XLA graph — upsample, fold, AR
     scan, crossfade-unfold, mu-law decode, de-emphasis. A single dispatch per
@@ -707,7 +708,8 @@ def _generate_pipeline(
         mels_up, _ = fold_with_overlap(mels_up, target, overlap)
         aux, _ = fold_with_overlap(aux, target, overlap)
 
-    samples = generate_core(variables, d, mels_up, aux, key)
+    samples = generate_core(variables, d, mels_up, aux, key,
+                            compute_dtype=compute_dtype)
 
     if batched:
         output = xfade_and_unfold(samples, target, overlap)
@@ -738,6 +740,7 @@ def wavernn_generate(
     overlap: int = 1000,
     mu_law: bool = True,
     apply_preemphasis: bool = True,
+    compute_dtype: Any = jnp.float32,
 ) -> np.ndarray:
     """Full generation pipeline (ref: fatchord_version.py:155-265):
     pad → upsample → fold → AR scan → unfold/crossfade → mu-law decode →
@@ -764,7 +767,7 @@ def wavernn_generate(
 
     output = _generate_pipeline(
         variables, d, mels, key, batched, target, overlap, mu_law,
-        apply_preemphasis,
+        apply_preemphasis, compute_dtype,
     )
 
     output = np.array(output[:wave_len], dtype=np.float64)  # writable copy
