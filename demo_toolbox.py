@@ -38,6 +38,7 @@ if __name__ == "__main__":
     parser.add_argument("--vocoder_backend", type=str, default="pytorch",
                         choices=["pytorch", "libwavernn"],
                         help="JAX path ('pytorch' compat name) or native engine.")
+    parser.add_argument("--cpu", action="store_true", help="Run on CPU.")
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("browse", help="List dataset audio files.")
@@ -60,6 +61,10 @@ if __name__ == "__main__":
     p.add_argument("--n_seeds", type=int, default=10)
 
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     box = tb.Toolbox(datasets_root=args.datasets_root, out_dir=args.out_dir)
 
     if args.cmd == "browse":

@@ -37,7 +37,8 @@ from rtvc_tpu.models.wavernn import (
     _hoist_aux,
 )
 
-_TILE = 128  # time steps per grid iteration
+_TILE = 16   # time steps per grid iteration (small: streamed blocks must fit
+             # VMEM next to the resident weights at large fold batches)
 _B_PAD = 8   # fold batch padded to the sublane count
 
 
@@ -45,8 +46,11 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pad2(x: jax.Array, rows: int, cols: int) -> jax.Array:
-    return jnp.zeros((rows, cols), x.dtype).at[: x.shape[0], : x.shape[1]].set(x)
+def _pad2(x: jax.Array, rows: int, cols: int, dtype=None) -> jax.Array:
+    dtype = dtype or x.dtype
+    return jnp.zeros((rows, cols), dtype).at[: x.shape[0], : x.shape[1]].set(
+        x.astype(dtype)
+    )
 
 
 def _gru_gates(xg, hg, H):
@@ -114,13 +118,15 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
 
         def step(k, _):
             prev = prev_scr[0]  # (B_pad,) in VMEM scratch row
-            x = i_cond[k] + prev[:, None] * i_col[0][None, :]
+            x = (i_cond[k].astype(jnp.float32)
+                 + prev.astype(jnp.float32)[:, None]
+                 * i_col[0].astype(jnp.float32)[None, :])
 
             def read_h(i):
                 return h_scr[i]
 
             def write_h(i, v):
-                h_scr[i] = v
+                h_scr[i] = v.astype(h_scr.dtype)
 
             if d.variant == VOC_FATCHORD:
                 h1 = read_h(0)
@@ -196,7 +202,7 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
                 logits = logits - jnp.log(-jnp.log(u))
             label = jnp.argmax(logits, axis=1).astype(jnp.float32)
             sample = 2.0 * label / (d.n_classes - 1.0) - 1.0
-            prev_scr[0] = sample
+            prev_scr[0] = sample.astype(prev_scr.dtype)
             out_ref[k] = sample
             return 0
 
@@ -205,7 +211,9 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("d", "argmax", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("d", "argmax", "interpret", "compute_dtype")
+)
 def generate_core_pallas(
     variables: Dict,
     d: WaveRNNDims,
@@ -214,6 +222,7 @@ def generate_core_pallas(
     key: jax.Array,
     argmax: bool = False,
     interpret: bool = False,
+    compute_dtype: Any = jnp.float32,
 ) -> jax.Array:
     """Pallas-fused AR sample loop: (B, T, ·) conditioning → samples (B, T).
 
@@ -240,24 +249,29 @@ def generate_core_pallas(
 
     def pad_steps(x, width):
         # (B, T, w) → (Tp, Bp, width) time-major padded
-        out = jnp.zeros((Tp, Bp, width), jnp.float32)
-        return out.at[:T, :B, : x.shape[2]].set(jnp.swapaxes(x, 0, 1))
+        out = jnp.zeros((Tp, Bp, width), compute_dtype)
+        return out.at[:T, :B, : x.shape[2]].set(
+            jnp.swapaxes(x, 0, 1).astype(compute_dtype)
+        )
 
     seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
 
+    def _pad2c(x, rows, cols):
+        return _pad2(x, rows, cols, dtype=compute_dtype)
+
     # Common tensors
     i_cond = pad_steps(pre["i_cond"], R)
-    i_col = _pad2(pre["i_prev_col"][None, :], 1, R)
+    i_col = _pad2c(pre["i_prev_col"][None, :], 1, R)
 
     # NB: padded gate layout must keep the three H-sized gates at offsets
     # 0/R/2R, so pad each gate section independently.
     def pad_gates(w_t):  # w_t: (in, 3H)
         H = d.rnn_dims
         parts = [w_t[:, i * H : (i + 1) * H] for i in range(3)]
-        return jnp.concatenate([_pad2(q, w_t.shape[0], R) for q in parts], 1)
+        return jnp.concatenate([_pad2c(q, w_t.shape[0], R) for q in parts], 1)
 
     def pad_gates_rows(w_t, rows):
-        return _pad2(pad_gates(w_t), rows, 3 * R)
+        return _pad2c(pad_gates(w_t), rows, 3 * R)
 
     def gru_tensors(name):
         """Plain GRU: b_ih goes into the input projection, b_hh into the
@@ -267,8 +281,8 @@ def generate_core_pallas(
         return (
             pad_gates_rows(wih_t, R),
             pad_gates_rows(whh_t, R),
-            _pad2(pad_gates(p[name]["bias_ih_l0"][None, :]), 1, 3 * R),
-            _pad2(pad_gates(p[name]["bias_hh_l0"][None, :]), 1, 3 * R),
+            _pad2c(pad_gates(p[name]["bias_ih_l0"][None, :]), 1, 3 * R),
+            _pad2c(pad_gates(p[name]["bias_hh_l0"][None, :]), 1, 3 * R),
         )
 
     def gru_tensors_concat(name, wx_key, aux_key):
@@ -280,15 +294,15 @@ def generate_core_pallas(
         bhh = p[name]["bias_hh_l0"][None, :]
         sa = pre[aux_key]  # (B, T, 3H)
         H = d.rnn_dims
-        stream = jnp.zeros((Tp, Bp, 3 * R), jnp.float32)
+        stream = jnp.zeros((Tp, Bp, 3 * R), compute_dtype)
         for i in range(3):
             stream = stream.at[:T, :B, i * R : i * R + H].set(
-                jnp.swapaxes(sa[:, :, i * H : (i + 1) * H], 0, 1)
+                jnp.swapaxes(sa[:, :, i * H : (i + 1) * H], 0, 1).astype(compute_dtype)
             )
         return (
             pad_gates_rows(wx, R),
             pad_gates_rows(whh_t, R),
-            _pad2(pad_gates(bhh), 1, 3 * R),
+            _pad2c(pad_gates(bhh), 1, 3 * R),
             stream,
         )
 
@@ -301,9 +315,9 @@ def generate_core_pallas(
         scratch = [
             pltpu.VMEM(
                 ({VOC_FATCHORD: 2, VOC_GENEING: 1, VOC_RUNTIMERACER: 4}[d.variant],
-                 Bp, R), jnp.float32,
+                 Bp, R), compute_dtype,
             ),
-            pltpu.VMEM((1, Bp), jnp.float32),
+            pltpu.VMEM((1, Bp), compute_dtype),
         ]
     except ImportError:  # pragma: no cover
         vmem = None
@@ -335,9 +349,9 @@ def generate_core_pallas(
             seed_arr, i_cond, r2stream, fc1_stream, fc2_stream,
             i_col, r1[0], r1[1], r1[2], r1[3],
             r2wx, r2whh, r2bhh,
-            _pad2(pre["fc1_wx"], R, F), _pad2(pre["fc2_wx"], F, F),
-            _pad2(p["fc3"]["weight"].T, F, C),
-            _pad2(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+            _pad2c(pre["fc1_wx"], R, F), _pad2c(pre["fc2_wx"], F, F),
+            _pad2c(p["fc3"]["weight"].T, F, C),
+            _pad2c(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
         ]
         stream_widths = [R, 3 * R, F, F]
     elif d.variant == VOC_GENEING:
@@ -346,9 +360,9 @@ def generate_core_pallas(
         inputs = [
             seed_arr, i_cond, fc1_stream,
             i_col, r1[0], r1[1], r1[2], r1[3],
-            _pad2(pre["fc1_wx"], R, F),
-            _pad2(p["fc3"]["weight"].T, F, C),
-            _pad2(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+            _pad2c(pre["fc1_wx"], R, F),
+            _pad2c(p["fc3"]["weight"].T, F, C),
+            _pad2c(p["fc3"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
         ]
         stream_widths = [R, F]
     else:
@@ -364,14 +378,14 @@ def generate_core_pallas(
             r2[0], r2[1], r2[2], r2[3],
             r3wx, r3whh, r3bhh,
             r4[0], r4[1], r4[2], r4[3],
-            _pad2(pre["fc1_wx"], R, F),
-            _pad2(p["fc2"]["weight"].T, F, F),
-            _pad2(p["fc2"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
-            _pad2(pre["fc3_wx"], F, F),
-            _pad2(p["fc4"]["weight"].T, F, F),
-            _pad2(p["fc4"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
-            _pad2(p["fc5"]["weight"].T, F, C),
-            _pad2(p["fc5"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
+            _pad2c(pre["fc1_wx"], R, F),
+            _pad2c(p["fc2"]["weight"].T, F, F),
+            _pad2c(p["fc2"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
+            _pad2c(pre["fc3_wx"], F, F),
+            _pad2c(p["fc4"]["weight"].T, F, F),
+            _pad2c(p["fc4"].get("bias", jnp.zeros(d.fc_dims))[None, :], 1, F),
+            _pad2c(p["fc5"]["weight"].T, F, C),
+            _pad2c(p["fc5"].get("bias", jnp.zeros(d.n_classes))[None, :], 1, C),
         ]
         stream_widths = [R, 3 * R, F, F]
 
