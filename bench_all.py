@@ -1,0 +1,150 @@
+"""Full benchmark suite over the 5 BASELINE.json measurement configs.
+
+(bench.py stays the driver's single-line headline metric; this script prints
+one JSON line per config for BENCHMARKS.md.)
+
+Configs (BASELINE.json):
+  1. speaker-encoder embed_utterance on a 5 s prompt
+  2. Tacotron synthesize_spectrograms + Griffin-Lim
+  3. WaveRNN infer_waveform (batched fold/overlap-add) — XLA and Pallas
+  4. full clone: embed → Tacotron mel → WaveRNN audio (p50 latency)
+  5. batched multi-utterance cloning
+
+All models use random weights (no pretrained checkpoints exist anywhere for
+this fork); compute cost is weight-independent.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def timeit(fn, n=3, warmup=1):
+    for _ in range(warmup):
+        fn()
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts))
+
+
+def main():
+    import jax
+
+    from rtvc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
+    import jax.numpy as jnp
+
+    from rtvc_tpu.config import preprocessing, sp
+    from rtvc_tpu.inference import encoder, synthesizer, vocoder
+    from rtvc_tpu.models import factories
+
+    results = []
+
+    def emit(metric, value, unit, extra=None):
+        row = {"metric": metric, "value": round(value, 3), "unit": unit}
+        if extra:
+            row.update(extra)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    rng = np.random.default_rng(0)
+
+    # ---- 1. encoder embed -------------------------------------------------
+    encoder.init_random_model(seed=0)
+    prompt = (0.3 * np.sin(2 * np.pi * 220 * np.arange(5 * 16000) / 16000)
+              + 0.02 * rng.standard_normal(5 * 16000)).astype(np.float32)
+    wav_pre = encoder.preprocess_wav(prompt)
+    dt = timeit(lambda: encoder.embed_utterance(wav_pre))
+    emit("embed_utterance_5s", dt * 1000, "ms")
+    embed = encoder.embed_utterance(wav_pre)
+
+    # ---- 2. Tacotron + Griffin-Lim ----------------------------------------
+    synth = synthesizer.Synthesizer("bench", verbose=False)
+    synth.load_bundle(
+        factories.init_syn_model(factories.MODEL_TYPE_TACOTRON, seed=0), r=2
+    )
+    text = "this is a benchmark of the tacotron synthesizer on tpu hardware"
+
+    def synth_once():
+        return synth.synthesize_spectrograms([text], [embed], seed=1)[0]
+
+    dt = timeit(synth_once)
+    mel = synth_once()
+    emit("tacotron_synthesize", dt * 1000, "ms",
+         {"frames": int(mel.shape[1])})
+
+    gl_pp = preprocessing.replace(griffin_lim_iters=30)
+    from rtvc_tpu.ops.audio import inv_mel_spectrogram
+
+    def gl_once():
+        return np.asarray(
+            inv_mel_spectrogram(jnp.asarray(mel), sp, gl_pp, jax.random.PRNGKey(0))
+        )
+
+    dt = timeit(gl_once)
+    emit("griffin_lim_30it", dt * 1000, "ms")
+
+    # ---- 3. WaveRNN infer_waveform ----------------------------------------
+    voc_bundle = factories.init_voc_model(factories.MODEL_TYPE_RUNTIMERACER, seed=0)
+    vocoder.load_bundle(voc_bundle)
+    mel5s = rng.uniform(-4, 4, (80, 400)).astype(np.float32)
+    wav_len = (400 - 1) * 200
+
+    from rtvc_tpu.models.wavernn import wavernn_generate
+
+    for label, kwargs in (
+        ("wavernn_xla_f32", {}),
+        ("wavernn_pallas_f32", {"use_pallas": True}),
+    ):
+        try:
+            def gen():
+                return wavernn_generate(
+                    voc_bundle.variables, voc_bundle.dims,
+                    mel5s / sp.max_abs_value, jax.random.PRNGKey(0),
+                    batched=True, target=1000, overlap=400, mu_law=True,
+                    apply_preemphasis=True, **kwargs,
+                )
+
+            dt = timeit(gen)
+            emit(label, wav_len / dt / 1000, "kHz",
+                 {"rtf_22k": round(wav_len / dt / 22050, 2)})
+        except Exception as e:
+            emit(label, -1, "kHz", {"error": str(e)[:80]})
+
+    # ---- 4. full clone p50 -------------------------------------------------
+    def clone():
+        w = encoder.preprocess_wav(prompt)
+        e = encoder.embed_utterance(w)
+        m = synth.synthesize_spectrograms([text], [e], seed=1)[0]
+        return vocoder.infer_waveform(m, target=1000, overlap=400)
+
+    ts = [timeit(clone, n=1, warmup=0) for _ in range(3)]
+    emit("full_clone_p50", float(np.median(ts)), "s")
+
+    # ---- 5. batched multi-utterance cloning --------------------------------
+    texts = [text, "a second sentence to synthesize in the same batch",
+             "and a third shorter one", "plus number four"]
+    embeds = [embed] * len(texts)
+
+    def batched():
+        mels = synth.synthesize_spectrograms(texts, embeds, seed=1)
+        return [vocoder.infer_waveform(m, target=1000, overlap=400) for m in mels]
+
+    dt = timeit(batched, n=2)
+    total_audio = sum((m.shape[1] - 1) * 200 for m in
+                      synth.synthesize_spectrograms(texts, embeds, seed=1))
+    emit("batched_clone_4utt", dt, "s",
+         {"audio_s": round(total_audio / 16000, 2)})
+
+    print(json.dumps({"all": results}))
+
+
+if __name__ == "__main__":
+    main()

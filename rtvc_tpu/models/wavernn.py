@@ -682,7 +682,7 @@ import functools
 @functools.partial(
     jax.jit,
     static_argnames=("d", "batched", "target", "overlap", "mu_law",
-                     "apply_preemphasis", "compute_dtype"),
+                     "apply_preemphasis", "compute_dtype", "use_pallas"),
 )
 def _generate_pipeline(
     variables: Dict,
@@ -695,6 +695,7 @@ def _generate_pipeline(
     mu_law: bool,
     apply_preemphasis: bool,
     compute_dtype: Any = jnp.float32,
+    use_pallas: bool = False,
 ) -> jax.Array:
     """The whole generation path as ONE jitted XLA graph — upsample, fold, AR
     scan, crossfade-unfold, mu-law decode, de-emphasis. A single dispatch per
@@ -708,8 +709,15 @@ def _generate_pipeline(
         mels_up, _ = fold_with_overlap(mels_up, target, overlap)
         aux, _ = fold_with_overlap(aux, target, overlap)
 
-    samples = generate_core(variables, d, mels_up, aux, key,
-                            compute_dtype=compute_dtype)
+    if use_pallas:
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        samples = generate_core_pallas(
+            variables, d, mels_up, aux, key, compute_dtype=compute_dtype
+        )
+    else:
+        samples = generate_core(variables, d, mels_up, aux, key,
+                                compute_dtype=compute_dtype)
 
     if batched:
         output = xfade_and_unfold(samples, target, overlap)
@@ -741,6 +749,7 @@ def wavernn_generate(
     mu_law: bool = True,
     apply_preemphasis: bool = True,
     compute_dtype: Any = jnp.float32,
+    use_pallas: bool = False,
 ) -> np.ndarray:
     """Full generation pipeline (ref: fatchord_version.py:155-265):
     pad → upsample → fold → AR scan → unfold/crossfade → mu-law decode →
@@ -765,9 +774,13 @@ def wavernn_generate(
             constant_values=-1.0,
         )
 
+    # The Pallas backend covers categorical heads only
+    use_pallas = use_pallas and not (
+        d.mode == MODE_MOL or (d.mode == MODE_RAW and d.variant == VOC_GENEING)
+    )
     output = _generate_pipeline(
         variables, d, mels, key, batched, target, overlap, mu_law,
-        apply_preemphasis, compute_dtype,
+        apply_preemphasis, compute_dtype, use_pallas,
     )
 
     output = np.array(output[:wave_len], dtype=np.float64)  # writable copy
