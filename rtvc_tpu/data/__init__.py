@@ -1,0 +1,1 @@
+"""Data layer: preprocessing pipelines, datasets, samplers, duration DP."""

@@ -1,0 +1,1 @@
+"""Training: trainers, steps, losses, pruning, checkpoints, GTA, eval."""

@@ -1,0 +1,1 @@
+"""Host utilities: wav IO, profiler, metrics, plots, argutils, compile cache."""
