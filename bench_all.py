@@ -66,10 +66,18 @@ def main():
     embed = encoder.embed_utterance(wav_pre)
 
     # ---- 2. Tacotron + Griffin-Lim ----------------------------------------
+    from rtvc_tpu.config.synthesizer import TacotronParams
+
     synth = synthesizer.Synthesizer("bench", verbose=False)
-    synth.load_bundle(
-        factories.init_syn_model(factories.MODEL_TYPE_TACOTRON, seed=0), r=2
+    bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_TACOTRON, seed=0,
+        # 400 decoder steps = 5 s of audio: a representative decode length
+        override_hp=TacotronParams(max_decoder_steps=400),
     )
+    # random weights stop immediately; force a full-length decode so the
+    # number reflects real utterance lengths
+    bundle.variables["params"]["stop_proj"]["bias"] = jnp.asarray([-100.0])
+    synth.load_bundle(bundle, r=2)
     text = "this is a benchmark of the tacotron synthesizer on tpu hardware"
 
     def synth_once():

@@ -150,19 +150,31 @@ class Synthesizer:
             print("\n\nDone.\n")
         return (specs, alignments) if return_alignments else specs
 
-    def _generate_tacotron(self, chars, speaker_embeds, seed):
+    def _decode_fn(self, d, r, max_steps):
+        """Per-(dims, r, max_steps) cached jitted decoder — a fresh jit per
+        call would retrace every request."""
         from rtvc_tpu.models import tacotron as taco
 
+        key = (d, r, max_steps)
+        cache = getattr(self, "_decode_cache", None)
+        if cache is not None and cache[0] == key:
+            return cache[1]
+
+        @jax.jit
+        def _decode(variables, chars, embeds, rng):
+            return taco.tacotron_generate(
+                variables, d, chars, embeds, r, rng, max_steps=max_steps,
+                compute_linear=False,
+            )
+
+        self._decode_cache = (key, _decode)
+        return _decode
+
+    def _generate_tacotron(self, chars, speaker_embeds, seed):
         d, variables = self._model.dims, self._model.variables
         r = self._r
         max_steps = (self._model.config.max_decoder_steps // r) * r
-
-        @functools.partial(jax.jit, static_argnames=())
-        def _decode(variables, chars, embeds, key):
-            return taco.tacotron_generate(
-                variables, d, chars, embeds, r, key, max_steps=max_steps,
-                compute_linear=False,
-            )
+        _decode = self._decode_fn(d, r, max_steps)
 
         mel_buf, _, attn, n = _decode(
             variables, jnp.asarray(chars), jnp.asarray(speaker_embeds),
@@ -194,17 +206,21 @@ class Synthesizer:
             aligns.append(attn_np[b])
         return mels, aligns
 
-    @functools.cached_property
+    @property
     def _postnet_jit(self):
         from rtvc_tpu.models import tacotron as taco
 
         d = self._model.dims
+        cached = getattr(self, "_postnet_cache", None)
+        if cached is not None and cached[0] == d:
+            return cached[1]
 
         @jax.jit
         def _run(variables, mel):
             linear, _ = taco._postnet(variables, d, mel, False, None)
             return jnp.swapaxes(linear, 1, 2)
 
+        self._postnet_cache = (d, _run)
         return _run
 
     def _generate_forward(
