@@ -167,6 +167,9 @@ if __name__ == "__main__":
                         help="Optional random number seed for deterministic output.")
     parser.add_argument("--no_sound", action="store_true",
                         help="Accepted for API compat; audio is always saved to disk.")
+    parser.add_argument("--no_mp3_support", action="store_true",
+                        help="Accepted for API compat; mp3 decode is gated in "
+                             "this environment regardless.")
     parser.add_argument("--selftest", action="store_true",
                         help="Run only the configuration test and exit.")
     args = parser.parse_args()

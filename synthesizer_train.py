@@ -39,8 +39,18 @@ if __name__ == "__main__":
             dataset, batch_size=batch_size, r=r, seed=session_idx
         )
 
+    eval_hook = None
+    if args.model_type == factories.MODEL_TYPE_TACOTRON:
+        from rtvc_tpu.train.eval_hooks import make_tacotron_eval_hook
+
+        eval_hook = make_tacotron_eval_hook(
+            args.models_dir / args.run_id / "samples"
+        )
+
     train_synthesizer(
         args.run_id, args.model_type, args.syn_dir, args.models_dir,
         epoch_batches, save_every=args.save_every,
         backup_every=args.backup_every, max_steps=args.max_steps,
+        eval_hook=eval_hook,
+        eval_interval=bundle_cfg.eval_interval,
     )

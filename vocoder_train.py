@@ -47,8 +47,20 @@ if __name__ == "__main__":
         batch_size = int(cfg.voc_tts_schedule[session_idx][3])
         return batch_iterator(dataset, batch_size, cfg, seed=session_idx)
 
+    # Checkpoint-time sample generation (ref: vocoder/train.py:269-271)
+    from rtvc_tpu.models import factories as _f
+    from rtvc_tpu.train.gen_testset import gen_testset
+
+    sample_dir = args.models_dir / args.run_id / "samples"
+    dims = _f.init_voc_model(args.model_type).dims
+
+    def gen_hook(step, variables):
+        gen_testset(variables, dims, cfg, dataset, sample_dir, step,
+                    samples=cfg.gen_at_checkpoint)
+
     train_vocoder(
         args.run_id, args.model_type, args.models_dir, epoch_batches,
         save_every=args.save_every, backup_every=args.backup_every,
-        max_steps=args.max_steps,
+        max_steps=args.max_steps, gen_hook=gen_hook,
+        gen_every=args.save_every,
     )
