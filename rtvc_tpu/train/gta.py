@@ -30,26 +30,50 @@ def run_synthesis(
     """Teacher-forced synthesis over the dataset → ``mels_gta/*.npy`` +
     ``synthesized.json``. Returns the number of synthesized utterances."""
     from rtvc_tpu.data.synthesizer_dataset import SynthesizerDataset, batch_iterator
-    from rtvc_tpu.models.tacotron import tacotron_forward
 
     syn_dir, voc_dir = Path(syn_dir), Path(voc_dir)
     gta_dir = voc_dir / synthesizer_paths.gta_mel_dir
     gta_dir.mkdir(parents=True, exist_ok=True)
     meta_out = voc_dir / synthesizer_paths.gta_metadata_file
 
-    dataset = SynthesizerDataset(syn_dir, ["mel", "embed"])
+    elements = factories.get_model_train_elements(bundle.model_type)
+    dataset = SynthesizerDataset(syn_dir, elements)
     d = bundle.dims
 
     existing = (
         {p.stem for p in gta_dir.glob("*.npy")} if skip_existing else set()
     )
 
-    @jax.jit
-    def forward(variables, chars, mels, embeds, rng):
-        m1, m2, attn, stop, _ = tacotron_forward(
-            variables, d, chars, mels, embeds, r, rng, train=False
-        )
-        return m1
+    # The reference saves the POSTNET output as the GTA mel
+    # (ref: synthesizer/synthesize.py:111,129 — second forward output).
+    if bundle.model_type == factories.MODEL_TYPE_TACOTRON:
+        from rtvc_tpu.models.tacotron import tacotron_forward
+
+        @jax.jit
+        def forward(variables, batch, rng):
+            _, m2, _, _, _ = tacotron_forward(
+                variables, d, batch["chars"], batch["mels"], batch["embeds"],
+                r, rng, train=False,
+            )
+            return m2
+
+    else:
+        if bundle.model_type == factories.MODEL_TYPE_FORWARD_TACOTRON:
+            from rtvc_tpu.models.forward_tacotron import (
+                forward_tacotron_forward as nar_fwd,
+            )
+        else:
+            from rtvc_tpu.models.fast_pitch import fastpitch_forward as nar_fwd
+
+        @jax.jit
+        def forward(variables, batch, rng):
+            _, m2, _, _, _, _ = nar_fwd(
+                variables, d, batch["chars"], batch["mels"],
+                batch["durations"], batch["embeds"], batch["spec_lens"],
+                batch["phoneme_pitchs"], batch["phoneme_energys"],
+                rng, train=False,
+            )
+            return m2
 
     metadata = {}
     if skip_existing and meta_out.exists():
@@ -72,18 +96,17 @@ def run_synthesis(
         ids = [dataset.samples_fnames[i] for i in batch["indices"]]
         if skip_existing and all(u in existing for u in ids):
             continue
-        m1 = np.asarray(
-            forward(
-                bundle.variables,
-                jnp.asarray(batch["chars"]),
-                jnp.asarray(batch["mels"]),
-                jnp.asarray(batch["embeds"]),
-                rng,
-            )
-        )
+        jbatch = {
+            k: jnp.asarray(v)
+            for k, v in batch.items()
+            if k in ("chars", "mels", "embeds", "durations", "spec_lens",
+                     "phoneme_pitchs", "phoneme_energys")
+        }
+        mels_out = np.asarray(forward(bundle.variables, jbatch, rng))
         for b, utt_id in enumerate(ids):
             n = int(batch["spec_lens"][b])
-            np.save(gta_dir / f"{utt_id}.npy", m1[b, :, :n].T, allow_pickle=False)
+            np.save(gta_dir / f"{utt_id}.npy", mels_out[b, :, :n].T,
+                    allow_pickle=False)
             # metadata line mirrors train.json's "id|n_samples|n_frames|text"
             metadata[utt_id] = src_lines.get(utt_id, f"{utt_id}|{n * 200}|{n}|")
             count += 1
