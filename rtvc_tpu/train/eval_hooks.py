@@ -21,8 +21,11 @@ from rtvc_tpu.utils.plots import save_attention, save_spectrogram
 
 
 def make_tacotron_eval_hook(out_dir: Path, texts=None, embeds=None,
-                            gl_iters: int = 30, max_steps: int = 400):
-    """Returns hook(step, variables, r): generates eval samples + artifacts."""
+                            gl_iters: int = 30, max_steps: int = 400,
+                            dims=None):
+    """Returns hook(step, variables, r): generates eval samples + artifacts.
+    ``dims`` defaults to the production TacotronDims; pass explicitly when
+    training with overridden hparams."""
     from rtvc_tpu.models import factories
     from rtvc_tpu.models.tacotron import tacotron_generate
 
@@ -37,8 +40,7 @@ def make_tacotron_eval_hook(out_dir: Path, texts=None, embeds=None,
     from rtvc_tpu.text import text_to_sequence
 
     def hook(step: int, variables: Dict, r: int):
-        bundle = factories.init_syn_model(factories.MODEL_TYPE_TACOTRON)
-        d = bundle.dims
+        d = dims or factories.init_syn_model(factories.MODEL_TYPE_TACOTRON).dims
         import jax.numpy as jnp
 
         from rtvc_tpu.ops.audio import inv_mel_spectrogram
@@ -95,5 +97,72 @@ def make_encoder_projection_hook(out_dir: Path, speakers_per_batch: int):
         fig.savefig(out_dir / f"projection_{step}.png", dpi=110,
                     bbox_inches="tight")
         plt.close(fig)
+
+    return hook
+
+
+def make_nar_eval_hook(out_dir: Path, model_type: str, texts=None,
+                       embeds=None, gl_iters: int = 30, dims=None):
+    """NAR synthesizer eval: mel plot + GL wav, plus the reference's
+    pitch/energy modifier sweep grids (ref: synthesizer/train.py:485-574 —
+    3×3 GTA-vs-target sweeps rendered as plots)."""
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.text import text_to_sequence
+    from rtvc_tpu.utils.plots import save_series_grid
+
+    out_dir = Path(out_dir)
+    if texts is None:
+        texts = ["this is an evaluation sample."]
+    if embeds is None:
+        rng = np.random.default_rng(0)
+        e = rng.standard_normal(768).astype(np.float32)
+        embeds = [e / np.linalg.norm(e)]
+
+    def hook(step: int, variables: Dict, r: int):
+        import jax.numpy as jnp
+
+        from rtvc_tpu.ops.audio import inv_mel_spectrogram
+
+        d = dims or factories.init_syn_model(model_type).dims
+        if model_type == factories.MODEL_TYPE_FORWARD_TACOTRON:
+            from rtvc_tpu.models.forward_tacotron import forward_generate as gen
+        else:
+            from rtvc_tpu.models.fast_pitch import fastpitch_generate as gen
+
+        seqs = [text_to_sequence(t, preprocessing.cleaner_names) for t in texts]
+        max_len = -(-max(len(s) for s in seqs) // 16) * 16
+        chars = np.zeros((len(seqs), max_len), np.int32)
+        for i, s in enumerate(seqs):
+            chars[i, : len(s)] = s
+        chars = jnp.asarray(chars)
+        spk = jnp.asarray(np.stack(embeds))
+
+        mel, durs = gen(variables, d, chars, spk, jax.random.PRNGKey(step))
+        n = int(durs[0].sum())
+        mel0 = mel[0][:, : max(n, 1)]
+        save_spectrogram(mel0, out_dir / f"mel_{step}", f"step {step}")
+        wav = np.asarray(
+            inv_mel_spectrogram(
+                jnp.asarray(mel0), sp,
+                preprocessing.replace(griffin_lim_iters=gl_iters),
+                jax.random.PRNGKey(0),
+            )
+        )
+        save_wav(wav, out_dir / f"eval_{step}.wav", sp.sample_rate)
+
+        # pitch/energy modifier sweep (× 0.5 / 1.0 / 1.5)
+        pitch_rows, energy_rows, labels = [], [], []
+        for factor in (0.5, 1.0, 1.5):
+            m_p, _ = gen(variables, d, chars, spk, jax.random.PRNGKey(step),
+                         pitch_function=lambda p, f=factor: p * f)
+            m_e, _ = gen(variables, d, chars, spk, jax.random.PRNGKey(step),
+                         energy_function=lambda p, f=factor: p * f)
+            pitch_rows.append(m_p[0].mean(axis=0))
+            energy_rows.append(m_e[0].mean(axis=0))
+            labels.append(f"×{factor}")
+        save_series_grid(pitch_rows, labels, out_dir / f"pitch_sweep_{step}",
+                         f"pitch modifier sweep @ {step}")
+        save_series_grid(energy_rows, labels, out_dir / f"energy_sweep_{step}",
+                         f"energy modifier sweep @ {step}")
 
     return hook

@@ -39,12 +39,17 @@ if __name__ == "__main__":
             dataset, batch_size=batch_size, r=r, seed=session_idx
         )
 
-    eval_hook = None
     if args.model_type == factories.MODEL_TYPE_TACOTRON:
         from rtvc_tpu.train.eval_hooks import make_tacotron_eval_hook
 
         eval_hook = make_tacotron_eval_hook(
             args.models_dir / args.run_id / "samples"
+        )
+    else:
+        from rtvc_tpu.train.eval_hooks import make_nar_eval_hook
+
+        eval_hook = make_nar_eval_hook(
+            args.models_dir / args.run_id / "samples", args.model_type
         )
 
     train_synthesizer(
