@@ -212,7 +212,9 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("d", "argmax", "interpret", "compute_dtype")
+    jax.jit,
+    static_argnames=("d", "argmax", "interpret", "compute_dtype",
+                     "stream_dtype"),
 )
 def generate_core_pallas(
     variables: Dict,
@@ -223,6 +225,7 @@ def generate_core_pallas(
     argmax: bool = False,
     interpret: bool = False,
     compute_dtype: Any = jnp.float32,
+    stream_dtype: Any = None,
 ) -> jax.Array:
     """Pallas-fused AR sample loop: (B, T, ·) conditioning → samples (B, T).
 
@@ -234,6 +237,11 @@ def generate_core_pallas(
         "MOL/beta heads use the XLA path"
     )
 
+    # compute_dtype = resident weights; stream_dtype = per-step conditioning
+    # blocks (streamed HBM→VMEM; bf16 streams halve the VMEM footprint that
+    # caps the fold batch size)
+    if stream_dtype is None:
+        stream_dtype = compute_dtype
     p = variables["params"]
     B, T, _ = mels_up.shape
     aux_d = d.aux_dims
@@ -249,9 +257,9 @@ def generate_core_pallas(
 
     def pad_steps(x, width):
         # (B, T, w) → (Tp, Bp, width) time-major padded
-        out = jnp.zeros((Tp, Bp, width), compute_dtype)
+        out = jnp.zeros((Tp, Bp, width), stream_dtype)
         return out.at[:T, :B, : x.shape[2]].set(
-            jnp.swapaxes(x, 0, 1).astype(compute_dtype)
+            jnp.swapaxes(x, 0, 1).astype(stream_dtype)
         )
 
     seed = jax.random.key_data(key).reshape(-1)[-1].astype(jnp.int32)
@@ -294,10 +302,10 @@ def generate_core_pallas(
         bhh = p[name]["bias_hh_l0"][None, :]
         sa = pre[aux_key]  # (B, T, 3H)
         H = d.rnn_dims
-        stream = jnp.zeros((Tp, Bp, 3 * R), compute_dtype)
+        stream = jnp.zeros((Tp, Bp, 3 * R), stream_dtype)
         for i in range(3):
             stream = stream.at[:T, :B, i * R : i * R + H].set(
-                jnp.swapaxes(sa[:, :, i * H : (i + 1) * H], 0, 1).astype(compute_dtype)
+                jnp.swapaxes(sa[:, :, i * H : (i + 1) * H], 0, 1).astype(stream_dtype)
             )
         return (
             pad_gates_rows(wx, R),
