@@ -27,6 +27,7 @@ Weight layouts are torch-compatible so reference checkpoints import 1:1.
 """
 from __future__ import annotations
 
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -674,9 +675,6 @@ def generate_core(
     h0 = tuple(h.astype(compute_dtype) for h in h0)
     (_, _), samples = jax.lax.scan(body, (jnp.zeros(B), h0), xs)
     return jnp.swapaxes(samples, 0, 1)  # (B, T)
-
-
-import functools
 
 
 @functools.partial(
