@@ -66,7 +66,7 @@ def config_test(args):
         encoder.load_model(args.enc_model_fpath)
         synth = synthesizer.Synthesizer(args.syn_model_fpath)
         synth.load()
-        vocoder.load_model(args.voc_model_fpath)
+        vocoder.load_model(args.voc_model_fpath, voc_type=args.voc_backend)
     else:
         print(
             "No trained models found at %s — using random weights for the "
@@ -163,6 +163,10 @@ if __name__ == "__main__":
         default=Path("saved_models/default/vocoder.ckpt"),
     )
     parser.add_argument("--cpu", action="store_true", help="Run on CPU.")
+    parser.add_argument("--voc_backend", type=str, default="pytorch",
+                        choices=["pytorch", "libwavernn"],
+                        help="Vocoder backend: JAX path ('pytorch' compat "
+                             "name) or the native C++ engine.")
     parser.add_argument("--seed", type=int, default=None,
                         help="Optional random number seed for deterministic output.")
     parser.add_argument("--no_sound", action="store_true",

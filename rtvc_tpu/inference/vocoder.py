@@ -33,18 +33,17 @@ def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bo
     if voc_type == base.VOC_TYPE_PYTORCH:
         ckpt = load_checkpoint(weights_fpath)
         _model_type = ckpt.get("model_type") or base.MODEL_TYPE_FATCHORD
+        bundle = base.init_voc_model(_model_type)
         if ckpt.get("torch_state") is not None:
-            bundle = base.init_voc_model(_model_type)
             variables = import_torch_state(ckpt["torch_state"], bundle.dims)
-            _model = bundle._replace(variables=variables)
         else:
-            _model = base.init_voc_model(_model_type, variables=ckpt["params"])
-            if isinstance(ckpt["params"], dict) and "params" not in ckpt["params"]:
-                # stored flat; wrap
-                _model = base.init_voc_model(
-                    _model_type,
-                    variables={"params": ckpt["params"], "batch_stats": ckpt["extras"].get("batch_stats", {})},
-                )
+            variables = {
+                "params": ckpt["params"],
+                "batch_stats": ckpt["extras"].get(
+                    "batch_stats", bundle.variables["batch_stats"]
+                ),
+            }
+        _model = bundle._replace(variables=variables)
         if verbose:
             print(
                 "Loaded vocoder of model '%s' at path '%s'." % (_model_type, weights_fpath)
