@@ -44,13 +44,22 @@ def save_checkpoint(
 ) -> None:
     """Atomically write a checkpoint file."""
     path = Path(path)
+    extras = dict(extras) if extras else {}
+    # Non-array metadata (model config, notes) rides in the JSON header —
+    # msgpack's ndarray codec can't round-trip string leaves.
+    config = extras.pop("config", None)
     payload = {
         "meta": json.dumps(
-            {"step": int(step), "model_type": model_type, "format": 1}
+            {
+                "step": int(step),
+                "model_type": model_type,
+                "format": 1,
+                "config": config,
+            }
         ),
         "params": _to_numpy_tree(params),
         "opt_state": _to_numpy_tree(opt_state) if opt_state is not None else {},
-        "extras": _to_numpy_tree(extras) if extras is not None else {},
+        "extras": _to_numpy_tree(extras),
     }
     blob = serialization.msgpack_serialize(payload)
     tmp = path.with_suffix(path.suffix + ".tmp")
@@ -59,6 +68,20 @@ def save_checkpoint(
         f.write(MAGIC)
         f.write(blob)
     tmp.replace(path)
+
+
+def _restore_lists(tree: Any) -> Any:
+    """Invert flax's to_state_dict list→{'0': ..} conversion: any dict whose
+    keys are exactly '0'..'n-1' becomes a list again."""
+    if isinstance(tree, dict):
+        restored = {k: _restore_lists(v) for k, v in tree.items()}
+        keys = list(restored.keys())
+        if keys and all(isinstance(k, str) and k.isdigit() for k in keys):
+            idx = sorted(int(k) for k in keys)
+            if idx == list(range(len(idx))):
+                return [restored[str(i)] for i in idx]
+        return restored
+    return tree
 
 
 def load_checkpoint(path: str | Path) -> Dict[str, Any]:
@@ -72,12 +95,15 @@ def load_checkpoint(path: str | Path) -> Dict[str, Any]:
         if head == MAGIC:
             payload = serialization.msgpack_restore(f.read())
             meta = json.loads(payload["meta"])
+            extras = _restore_lists(payload.get("extras")) or {}
+            if meta.get("config") is not None:
+                extras["config"] = meta["config"]
             return {
                 "step": meta["step"],
                 "model_type": meta.get("model_type"),
-                "params": payload["params"],
-                "opt_state": payload.get("opt_state") or None,
-                "extras": payload.get("extras") or {},
+                "params": _restore_lists(payload["params"]),
+                "opt_state": _restore_lists(payload.get("opt_state")) or None,
+                "extras": extras,
             }
     # Fall back to a torch checkpoint from the reference framework.
     import torch

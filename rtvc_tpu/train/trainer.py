@@ -325,7 +325,8 @@ def train_synthesizer(
                 )
                 cadence.maybe_save(
                     step, variables["params"], opt_state,
-                    extras={"batch_stats": variables["batch_stats"], "r": r},
+                    extras={"batch_stats": variables["batch_stats"], "r": r,
+                            "config": cfg.asdict()},
                 )
                 if eval_hook is not None and eval_interval > 0 and step % eval_interval == 0:
                     eval_hook(step, variables, r)
@@ -340,7 +341,8 @@ def train_synthesizer(
 
     cadence.maybe_save(
         step, variables["params"], opt_state,
-        extras={"batch_stats": variables["batch_stats"], "r": r}, force=True,
+        extras={"batch_stats": variables["batch_stats"], "r": r,
+                "config": cfg.asdict()}, force=True,
     )
     print()
     return {"step": step, "variables": variables,
@@ -532,7 +534,8 @@ def train_vocoder(
                 )
                 cadence.maybe_save(
                     step, variables["params"], opt_state,
-                    extras={"batch_stats": variables["batch_stats"]},
+                    extras={"batch_stats": variables["batch_stats"],
+                            "config": cfg.asdict()},
                 )
                 if gen_hook is not None and gen_every > 0 and step % gen_every == 0:
                     gen_hook(step, variables)
@@ -547,7 +550,8 @@ def train_vocoder(
 
     cadence.maybe_save(
         step, variables["params"], opt_state,
-        extras={"batch_stats": variables["batch_stats"]}, force=True,
+        extras={"batch_stats": variables["batch_stats"],
+                "config": cfg.asdict()}, force=True,
     )
     print()
     return {"step": step, "variables": variables,

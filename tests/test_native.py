@@ -170,3 +170,55 @@ class TestVocoderWrapper:
         assert res.returncode == 0, res.stderr
         wav = np.fromfile(out_path, dtype=np.float32)
         assert len(wav) == 8 * d.hop_length
+
+
+class TestPublicVocoderAPI:
+    def test_load_model_libwavernn_and_infer(self, tmp_path, monkeypatch):
+        """Full public-API path: checkpoint → convert → load_model(
+        voc_type='libwavernn') → infer_waveform."""
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.inference import vocoder as voc_api
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.train.checkpoints import save_checkpoint
+
+        cfg = WaveRNNParams(
+            rnn_dims=16, fc_dims=16, compute_dims=8, res_out_dims=16,
+            res_blocks=1, bits=6, gen_target=400, gen_overlap=200,
+        )
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_RUNTIMERACER, override_hp=cfg
+        )
+        ckpt = tmp_path / "voc.ckpt"
+        save_checkpoint(
+            ckpt, bundle.variables["params"], step=1,
+            model_type=factories.MODEL_TYPE_RUNTIMERACER,
+            extras={"batch_stats": bundle.variables["batch_stats"],
+                    "config": cfg.asdict()},
+        )
+        # convert via the CLI module logic
+        import subprocess
+        import sys
+
+        res = subprocess.run(
+            [sys.executable, str(NATIVE_DIR.parents[1] / "vocoder_convert_model.py"),
+             str(ckpt), "-o", str(tmp_path / "voc.bin")],
+            capture_output=True, text=True,
+            env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                 "PYTHONPATH": str(NATIVE_DIR.parents[1]) + ":/root/.axon_site",
+                 "HOME": "/root"},
+        )
+        assert res.returncode == 0, res.stderr[-500:]
+
+        voc_api.load_model(tmp_path / "voc.bin", voc_type="libwavernn",
+                           verbose=False)
+        # the native wrapper defaults to the full runtimeracer hparams;
+        # point it at the tiny test config
+        voc_api._cpp_model.cfg = cfg
+        assert voc_api.is_loaded()
+        mel = np.random.default_rng(0).uniform(-4, 4, (80, 20)).astype(np.float32)
+        wav = voc_api.infer_waveform(mel)
+        assert wav.shape == ((20 - 1) * 200,)
+        assert np.isfinite(wav).all()
+        # reset module state for other tests
+        voc_api._cpp_model = None
+        voc_api._model_type = None
