@@ -81,8 +81,16 @@ class Synthesizer:
             if "decoder.r" in ckpt["torch_state"]:
                 self._r = int(np.asarray(ckpt["torch_state"]["decoder.r"]))
         else:
+            override_hp = base.config_from_extras(
+                self._model_type, ckpt.get("extras")
+            )
             self._model = base.init_syn_model(
-                self._model_type, variables=ckpt["params"]
+                self._model_type,
+                override_hp=override_hp,
+                variables={
+                    "params": ckpt["params"],
+                    "batch_stats": ckpt["extras"].get("batch_stats", {}),
+                },
             )
             self._r = int(ckpt["extras"].get("r", 2))
         if self.verbose:

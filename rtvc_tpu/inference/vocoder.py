@@ -33,7 +33,8 @@ def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bo
     if voc_type == base.VOC_TYPE_PYTORCH:
         ckpt = load_checkpoint(weights_fpath)
         _model_type = ckpt.get("model_type") or base.MODEL_TYPE_FATCHORD
-        bundle = base.init_voc_model(_model_type)
+        override_hp = base.config_from_extras(_model_type, ckpt.get("extras"))
+        bundle = base.init_voc_model(_model_type, override_hp=override_hp)
         if ckpt.get("torch_state") is not None:
             variables = import_torch_state(ckpt["torch_state"], bundle.dims)
         else:

@@ -130,6 +130,27 @@ def init_voc_model(
     return VocModel(model_type, dims, variables, cfg)
 
 
+def config_from_extras(model_type: str, extras: Optional[Dict[str, Any]]):
+    """Rebuild the hyper-parameter dataclass stored in a checkpoint's
+    ``extras['config']`` (None when absent — defaults apply)."""
+    cfg_dict = (extras or {}).get("config")
+    if not cfg_dict:
+        return None
+    classes = {
+        MODEL_TYPE_TACOTRON: _syn_cfg.TacotronParams,
+        MODEL_TYPE_FORWARD_TACOTRON: _syn_cfg.ForwardTacotronParams,
+        MODEL_TYPE_FASTPITCH: _syn_cfg.FastPitchParams,
+        MODEL_TYPE_FATCHORD: WaveRNNParams,
+        MODEL_TYPE_GENEING: WaveRNNParams,
+        MODEL_TYPE_RUNTIMERACER: WaveRNNParams,
+    }
+
+    def detuple(v):
+        return tuple(detuple(x) for x in v) if isinstance(v, list) else v
+
+    return classes[model_type](**{k: detuple(v) for k, v in cfg_dict.items()})
+
+
 def get_model_train_elements(model_type: str) -> list:
     """Dataset elements each synthesizer needs
     (ref: synthesizer/models/base.py:74-82)."""
