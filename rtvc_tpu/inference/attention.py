@@ -7,7 +7,6 @@ per-frame attention matrix used for duration extraction.
 """
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Optional
 

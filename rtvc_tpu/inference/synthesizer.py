@@ -11,7 +11,6 @@ shapes. The postnet runs on frame buckets padded with the silence mel value
 """
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Callable, List, Optional, Union
 

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtvc_tpu.config.synthesizer import FastPitchParams
-from rtvc_tpu.models.layers import Conv1d, Embedding, Linear
+from rtvc_tpu.models.layers import Embedding, Linear
 
 
 class FastPitchDims(NamedTuple):

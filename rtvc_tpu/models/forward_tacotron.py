@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtvc_tpu.config.synthesizer import ForwardTacotronParams
-from rtvc_tpu.models.layers import CBHG, BatchNormConv, Conv1d, Embedding, Linear, gru_step
+from rtvc_tpu.models.layers import CBHG, BatchNormConv, Conv1d, Embedding, Linear
 
 
 class ForwardTacotronDims(NamedTuple):

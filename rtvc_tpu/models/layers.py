@@ -20,7 +20,7 @@ Reference counterparts: CBHG/Highway/BatchNormConv/PreNet/LengthRegulator
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

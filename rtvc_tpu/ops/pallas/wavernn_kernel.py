@@ -23,7 +23,7 @@ MOL/beta heads keep the XLA path. Weight layout is the same hoisted form
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ communication until the final gather (SURVEY.md §5.7's mapping).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -25,7 +25,6 @@ from rtvc_tpu.models.wavernn import (
     upsample_forward,
     xfade_and_unfold,
 )
-from rtvc_tpu.parallel.mesh import FOLD_AXIS
 
 
 def generate_sharded(

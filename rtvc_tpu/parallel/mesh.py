@@ -13,7 +13,7 @@ ref: libwavernn/inference.py:87-114).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

@@ -10,7 +10,7 @@ Capability parity with the reference's in-training evaluation:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import numpy as np

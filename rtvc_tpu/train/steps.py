@@ -10,7 +10,6 @@ vocoder/train.py:207-209).
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax

@@ -9,7 +9,7 @@ target/generated comparison plots (ref: vocoder/display.py).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Callable, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
