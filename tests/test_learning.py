@@ -1,0 +1,133 @@
+"""Learning tests: each training step actually optimizes its model — loss
+drops substantially when overfitting a single batch (stronger than
+finite-loss smoke tests; catches broken gradients/optimizer wiring)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from rtvc_tpu.config.synthesizer import ForwardTacotronParams, TacotronParams
+from rtvc_tpu.config.vocoder import WaveRNNParams
+from rtvc_tpu.models import factories
+from rtvc_tpu.train.trainer import make_optimizer, set_lr
+
+
+def _overfit(step_fn, params, stats, opt_state, batch, rng, n=40):
+    losses = []
+    for i in range(n):
+        out = step_fn(params, stats, opt_state, batch, jax.random.fold_in(rng, i))
+        params, stats, opt_state = out[0], out[1], out[2]
+        losses.append(float(out[3]["loss"]))
+    return losses
+
+
+class TestTacotronLearns:
+    def test_single_batch_overfit(self):
+        cfg = TacotronParams(
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, lstm_dims=16, postnet_K=2, num_highways=2,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=cfg
+        )
+        from rtvc_tpu.train.steps import make_tacotron_train_step
+
+        optimizer = optax.adam(3e-3)
+        step = make_tacotron_train_step(bundle.dims, optimizer, r=2)
+        rng = np.random.default_rng(0)
+        B, T, F = 2, 8, 8
+        batch = {
+            "chars": jnp.asarray(rng.integers(1, 20, (B, T)), jnp.int32),
+            "mels": jnp.asarray(rng.uniform(-4, 4, (B, 80, F)), jnp.float32),
+            "embeds": jnp.asarray(rng.standard_normal((B, 768)), jnp.float32),
+            "stop": jnp.ones((B, F), jnp.float32),
+        }
+        losses = _overfit(
+            step, bundle.variables["params"], bundle.variables["batch_stats"],
+            optimizer.init(bundle.variables["params"]), batch,
+            jax.random.PRNGKey(0),
+        )
+        # random targets: assert a solid optimization trend
+        assert losses[-1] < 0.8 * losses[0], losses[::8]
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestWaveRNNLearns:
+    def test_single_batch_overfit(self):
+        cfg = WaveRNNParams(
+            rnn_dims=24, fc_dims=24, compute_dims=12, res_out_dims=16,
+            res_blocks=1, bits=6, seq_len=400,
+        )
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_FATCHORD, override_hp=cfg
+        )
+        from rtvc_tpu.train.steps import make_wavernn_train_step
+
+        optimizer = optax.adam(3e-3)
+        step = make_wavernn_train_step(bundle.dims, optimizer)
+        rng = np.random.default_rng(0)
+        B, seq = 2, 400
+        mel_win = seq // 200 + 2 * cfg.pad
+        batch = {
+            "x": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 2**6, (B, seq)), jnp.int32),
+            "y_float": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "mels": jnp.asarray(rng.uniform(-1, 1, (B, 80, mel_win)), jnp.float32),
+        }
+        losses = []
+        params, stats = bundle.variables["params"], bundle.variables["batch_stats"]
+        opt_state = optimizer.init(params)
+        for _ in range(40):
+            params, stats, opt_state, out = step(params, stats, opt_state, batch)
+            losses.append(float(out["loss"]))
+        # CE over random labels sits near the entropy floor; assert the
+        # optimizer still makes steady progress toward it
+        assert losses[-1] < 0.97 * losses[0], losses[::8]
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestForwardTacotronLearns:
+    def test_single_batch_overfit(self):
+        cfg = ForwardTacotronParams(
+            embed_dims=16, series_embed_dims=8,
+            duration_conv_dims=12, duration_rnn_dims=8,
+            pitch_conv_dims=12, pitch_rnn_dims=8,
+            energy_conv_dims=12, energy_rnn_dims=8,
+            prenet_dims=16, prenet_k=2, prenet_num_highways=1,
+            rnn_dims=16, postnet_dims=12, postnet_k=2, postnet_num_highways=1,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_FORWARD_TACOTRON, override_hp=cfg
+        )
+        from rtvc_tpu.train.steps import make_nar_synth_train_step
+
+        optimizer = optax.adam(3e-3)
+        step = make_nar_synth_train_step(
+            factories.MODEL_TYPE_FORWARD_TACOTRON, bundle.dims, optimizer, cfg
+        )
+        rng = np.random.default_rng(0)
+        B, T = 2, 6
+        dur = np.full((B, T), 2.0, np.float32)
+        L = int(dur[0].sum())
+        batch = {
+            "chars": jnp.asarray(rng.integers(1, 20, (B, T)), jnp.int32),
+            "mels": jnp.asarray(rng.uniform(-4, 4, (B, 80, L)), jnp.float32),
+            "embeds": jnp.asarray(rng.standard_normal((B, 768)), jnp.float32),
+            "durations": jnp.asarray(dur),
+            "spec_lens": jnp.asarray([L, L]),
+            "x_lens": jnp.asarray([T, T]),
+            "pitch": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+            "energy": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+        }
+        losses = []
+        params, stats = bundle.variables["params"], bundle.variables["batch_stats"]
+        opt_state = optimizer.init(params)
+        for i in range(40):
+            params, stats, opt_state, out = step(
+                params, stats, opt_state, batch, jax.random.fold_in(jax.random.PRNGKey(0), i)
+            )
+            losses.append(float(out["loss"]))
+        assert losses[-1] < 0.95 * losses[0], losses[::8]
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
