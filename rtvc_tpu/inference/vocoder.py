@@ -124,6 +124,35 @@ def infer_waveform(
     return wav
 
 
+def infer_waveforms(
+    mels,
+    normalize: bool = True,
+    target: Optional[int] = None,
+    overlap: Optional[int] = None,
+):
+    """Vocode several mels in ONE fused batch (every utterance's fold windows
+    share the device batch axis). Returns a list of waveforms."""
+    global _gen_counter
+    if _model is None:
+        raise Exception("Please load Wave-RNN in memory before using it")
+    from rtvc_tpu.models.wavernn import wavernn_generate_batch
+
+    cfg = _model.config
+    if target is None:
+        target = cfg.gen_target
+    if overlap is None:
+        overlap = cfg.gen_overlap
+    sp = _sig.sp
+    if normalize:
+        mels = [m / sp.max_abs_value for m in mels]
+    _gen_counter += 1
+    key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
+    return wavernn_generate_batch(
+        _model.variables, _model.dims, mels, key, target=target,
+        overlap=overlap, mu_law=cfg.mu_law, apply_preemphasis=sp.preemphasize,
+    )
+
+
 def set_seed(seed: int) -> None:
     """Deterministic generation: same seed → same audio
     (ref: vocoder/inference.py:97-101)."""

@@ -788,6 +788,113 @@ def wavernn_generate(
     return output
 
 
+def wavernn_generate_batch(
+    variables: Dict,
+    d: WaveRNNDims,
+    mels_list,
+    key: jax.Array,
+    target: int = 1000,
+    overlap: int = 400,
+    mu_law: bool = True,
+    apply_preemphasis: bool = True,
+    compute_dtype: Any = jnp.float32,
+    use_pallas: bool = False,
+):
+    """Vocode SEVERAL utterances in one fused generate call: every
+    utterance's fold windows share one batch axis, so short utterances ride
+    along with long ones at no extra wall time (true batched multi-utterance
+    cloning — the reference vocodes per utterance).
+
+    mels_list: list of (n_mels, T_i) normalized mels. Returns a list of
+    float64 waveforms (each trimmed to its own length, with fade-out).
+    """
+    mu_law = mu_law if d.mode == MODE_RAW else False
+    use_pallas = use_pallas and not (
+        d.mode == MODE_MOL or (d.mode == MODE_RAW and d.variant == VOC_GENEING)
+    )
+
+    N = len(mels_list)
+    frames = [m.shape[-1] for m in mels_list]
+    bucket = -(-max(frames) // _FRAME_BUCKET) * _FRAME_BUCKET
+    stack = np.full((N, d.feat_dims, bucket), -1.0, np.float32)
+    for i, m in enumerate(mels_list):
+        stack[:, :, :][i, :, : m.shape[-1]] = np.asarray(m, np.float32)
+
+    wavs = _generate_batch_pipeline(
+        variables, d, jnp.asarray(stack), key, target, overlap, mu_law,
+        apply_preemphasis, compute_dtype, use_pallas,
+    )
+    out = []
+    wavs = np.asarray(wavs, dtype=np.float64)
+    for i, T_i in enumerate(frames):
+        wave_len = (T_i - 1) * d.hop_length
+        w = np.array(wavs[i][:wave_len])
+        fade_len = min(20 * d.hop_length, len(w))
+        w[-fade_len:] *= np.linspace(1.0, 0.0, fade_len)
+        out.append(w)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("d", "target", "overlap", "mu_law", "apply_preemphasis",
+                     "compute_dtype", "use_pallas"),
+)
+def _generate_batch_pipeline(
+    variables: Dict,
+    d: WaveRNNDims,
+    mels: jax.Array,  # (N, n_mels, T) all same padded length
+    key: jax.Array,
+    target: int,
+    overlap: int,
+    mu_law: bool,
+    apply_preemphasis: bool,
+    compute_dtype: Any,
+    use_pallas: bool,
+) -> jax.Array:
+    N = mels.shape[0]
+    mels = jnp.pad(mels, ((0, 0), (0, 0), (d.pad, d.pad)))
+    mels_up, aux, _ = upsample_forward(
+        variables["params"]["upsample"], variables["batch_stats"]["upsample"],
+        d, mels, train=False,
+    )
+    # fold every utterance with identical geometry, stack fold batches
+    folded_m, folded_a = [], []
+    n_folds = None
+    for i in range(N):
+        fm, n_folds = fold_with_overlap(mels_up[i : i + 1], target, overlap)
+        fa, _ = fold_with_overlap(aux[i : i + 1], target, overlap)
+        folded_m.append(fm)
+        folded_a.append(fa)
+    big_m = jnp.concatenate(folded_m, axis=0)
+    big_a = jnp.concatenate(folded_a, axis=0)
+
+    if use_pallas:
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        samples = generate_core_pallas(
+            variables, d, big_m, big_a, key, compute_dtype=compute_dtype
+        )
+    else:
+        samples = generate_core(variables, d, big_m, big_a, key,
+                                compute_dtype=compute_dtype)
+
+    outs = []
+    for i in range(N):
+        y = samples[i * n_folds : (i + 1) * n_folds]
+        w = xfade_and_unfold(y, target, overlap)
+        if mu_law:
+            from rtvc_tpu.ops.audio import decode_mu_law
+
+            w = decode_mu_law(w, d.n_classes, from_labels=False)
+        if apply_preemphasis:
+            from rtvc_tpu.ops.audio import de_emphasis
+
+            w = de_emphasis(w, 0.97)
+        outs.append(w)
+    return jnp.stack(outs)
+
+
 # ---------------------------------------------------------------------------
 # Torch checkpoint import
 # ---------------------------------------------------------------------------

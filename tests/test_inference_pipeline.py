@@ -98,3 +98,18 @@ class TestFullPipeline:
         import rtvc_tpu.config.signal as sig
         out = syn_inf.griffin_lim(mel[:, :40])
         assert np.isfinite(out).all()
+
+
+class TestBatchedVocoding:
+    def test_infer_waveforms_matches_lengths(self, tiny_models):
+        rng = np.random.default_rng(5)
+        mels = [
+            rng.uniform(-4, 4, (80, 18)).astype(np.float32),
+            rng.uniform(-4, 4, (80, 30)).astype(np.float32),
+            rng.uniform(-4, 4, (80, 24)).astype(np.float32),
+        ]
+        wavs = voc_inf.infer_waveforms(mels, target=400, overlap=100)
+        assert len(wavs) == 3
+        for m, w in zip(mels, wavs):
+            assert len(w) == (m.shape[1] - 1) * 200
+            assert np.isfinite(w).all()
