@@ -143,7 +143,7 @@ def main():
 
     def batched():
         mels = synth.synthesize_spectrograms(texts, embeds, seed=1)
-        return [vocoder.infer_waveform(m, target=1000, overlap=400) for m in mels]
+        return vocoder.infer_waveforms(mels, target=1000, overlap=400)
 
     dt = timeit(batched, n=2)
     total_audio = sum((m.shape[1] - 1) * 200 for m in
