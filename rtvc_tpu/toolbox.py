@@ -56,6 +56,15 @@ class Toolbox:
         wavs = sorted(Path(self.datasets_root).glob("**/*.wav"))
         return wavs[:max_entries]
 
+    def record(self, duration_s: float = 5.0) -> np.ndarray:
+        """Microphone recording (the reference toolbox records via
+        sounddevice). No audio input device exists in this environment —
+        raises with the workaround."""
+        raise RuntimeError(
+            "No audio input device is available in this environment. Record "
+            "a wav elsewhere and pass it to load_utterance()/clone instead."
+        )
+
     # -- embedding ------------------------------------------------------------
     def load_utterance(self, fpath: Path, speaker_name: Optional[str] = None) -> Utterance:
         wav = encoder_inf.preprocess_wav(fpath)

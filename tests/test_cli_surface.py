@@ -29,6 +29,8 @@ SCRIPTS = [
     "scripts/textgrid_to_alignments.py",
     "scripts/convert_audio.py",
     "scripts/tedlium.py",
+    "scripts/timit.py",
+    "scripts/flatten_speakers.py",
 ]
 
 
