@@ -256,6 +256,9 @@ class Synthesizer:
 # ---------------------------------------------------------------------------
 # Module-level API (ref: synthesizer/inference.py:165-235)
 # ---------------------------------------------------------------------------
+# (class-level aliases are attached below the function definitions so code
+# written against the reference's `Synthesizer.make_spectrogram(...)` style
+# keeps working)
 
 _model: Optional[Synthesizer] = None
 
@@ -326,3 +329,10 @@ def griffin_lim(mel: np.ndarray, seed: int = 0) -> np.ndarray:
             jnp.asarray(mel, jnp.float32), sp, preprocessing, jax.random.PRNGKey(seed)
         )
     )
+
+
+# Reference code calls these as Synthesizer static helpers
+# (ref usage: synthesizer/inference.py:216-219, toolbox).
+Synthesizer.load_preprocess_wav = staticmethod(load_preprocess_wav)
+Synthesizer.make_spectrogram = staticmethod(make_spectrogram)
+Synthesizer.griffin_lim = staticmethod(griffin_lim)
