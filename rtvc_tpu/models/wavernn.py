@@ -763,6 +763,15 @@ def wavernn_generate(
     if mels.ndim == 2:
         mels = mels[None]
     n_frames = mels.shape[-1]
+    if n_frames < 2:
+        raise ValueError(
+            f"Need at least 2 mel frames to generate audio, got {n_frames}"
+        )
+    if mels.shape[1] != d.feat_dims:
+        raise ValueError(
+            f"Expected {d.feat_dims} mel bins, got {mels.shape[1]} — is the "
+            f"mel transposed?"
+        )
     wave_len = (n_frames - 1) * d.hop_length
 
     bucket = -(-n_frames // _FRAME_BUCKET) * _FRAME_BUCKET
