@@ -168,26 +168,43 @@ def collate_synthesizer(
     return out
 
 
-def batch_iterator(
-    dataset: SynthesizerDataset,
-    batch_size: int,
-    r: int,
-    shuffle: bool = True,
-    seed: int = 0,
-    drop_last: bool = True,
-    mel_bucket: int = 2,
-) -> Iterator[Dict[str, np.ndarray]]:
+class batch_iterator:
     """One epoch of collated batches, length-sorted into buckets then
-    shuffled (minimizes padding AND compiled shape count)."""
-    order = np.argsort([len(dataset.samples_texts[i]) for i in range(len(dataset))])
-    batches = [
-        order[i : i + batch_size] for i in range(0, len(order), batch_size)
-    ]
-    if drop_last:
-        batches = [b for b in batches if len(b) == batch_size]
-    rng = np.random.default_rng(seed)
-    if shuffle:
-        rng.shuffle(batches)
-    for idx in batches:
-        yield collate_synthesizer([dataset[int(i)] for i in idx], r,
-                                  mel_bucket=mel_bucket)
+    shuffled (minimizes padding AND compiled shape count). Sized + lazy:
+    ``len()`` is known upfront, batches are built on demand (the trainer
+    never materializes an epoch in memory)."""
+
+    def __init__(
+        self,
+        dataset: SynthesizerDataset,
+        batch_size: int,
+        r: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        mel_bucket: int = 2,
+    ):
+        self.dataset = dataset
+        self.r = r
+        self.mel_bucket = mel_bucket
+        order = np.argsort(
+            [len(dataset.samples_texts[i]) for i in range(len(dataset))]
+        )
+        batches = [
+            order[i : i + batch_size] for i in range(0, len(order), batch_size)
+        ]
+        if drop_last:
+            batches = [b for b in batches if len(b) == batch_size]
+        if shuffle:
+            np.random.default_rng(seed).shuffle(batches)
+        self.batches = batches
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for idx in self.batches:
+            yield collate_synthesizer(
+                [self.dataset[int(i)] for i in idx], self.r,
+                mel_bucket=self.mel_bucket,
+            )

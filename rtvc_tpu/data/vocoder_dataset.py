@@ -119,20 +119,36 @@ def collate_vocoder(
     }
 
 
-def batch_iterator(
-    dataset: VocoderDataset,
-    batch_size: int,
-    hp: WaveRNNParams,
-    shuffle: bool = True,
-    seed: int = 0,
-    drop_last: bool = True,
-) -> Iterator[Dict[str, np.ndarray]]:
-    rng = np.random.default_rng(seed)
-    order = np.arange(len(dataset))
-    if shuffle:
-        rng.shuffle(order)
-    batches = [order[i : i + batch_size] for i in range(0, len(order), batch_size)]
-    if drop_last:
-        batches = [b for b in batches if len(b) == batch_size]
-    for idx in batches:
-        yield collate_vocoder([dataset[int(i)] for i in idx], hp, rng)
+class batch_iterator:
+    """Sized lazy epoch iterator (len known upfront, batches built on demand)."""
+
+    def __init__(
+        self,
+        dataset: VocoderDataset,
+        batch_size: int,
+        hp: WaveRNNParams,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.hp = hp
+        self.rng = np.random.default_rng(seed)
+        order = np.arange(len(dataset))
+        if shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + batch_size] for i in range(0, len(order), batch_size)
+        ]
+        if drop_last:
+            batches = [b for b in batches if len(b) == batch_size]
+        self.batches = batches
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        for idx in self.batches:
+            yield collate_vocoder(
+                [self.dataset[int(i)] for i in idx], self.hp, self.rng
+            )

@@ -280,8 +280,10 @@ def train_synthesizer(
 
         # Skip sessions already completed when resuming (the reference keeps
         # the step inside the model for exactly this, SURVEY.md §5.4)
-        probe = list(epoch_batches(session_idx, r))
-        steps_per_epoch = len(probe)
+        probe = epoch_batches(session_idx, r)
+        steps_per_epoch = len(probe) if hasattr(probe, "__len__") else len(
+            list(probe)
+        )
         n_epochs = int(loops) if epochs_per_session is None else epochs_per_session
         session_steps = max(steps_per_epoch * n_epochs, 1)
         if step - session_start_step >= session_steps:
@@ -302,7 +304,7 @@ def train_synthesizer(
 
         done = False
         for epoch in range(n_epochs):
-            for batch in (probe if epoch == 0 else epoch_batches(session_idx, r)):
+            for batch in epoch_batches(session_idx, r):
                 lr = linear_session_lr(
                     init_lr, end_lr, step - session_start_step, session_steps
                 )
@@ -458,8 +460,10 @@ def train_vocoder(
     for session_idx, (loops, init_lr, end_lr, batch_size) in enumerate(
         cfg.voc_tts_schedule
     ):
-        probe = list(epoch_batches(session_idx))
-        steps_per_epoch = len(probe)
+        probe = epoch_batches(session_idx)
+        steps_per_epoch = len(probe) if hasattr(probe, "__len__") else len(
+            list(probe)
+        )
         n_epochs = max(int(np.ceil(loops)), 1)
         session_steps = max(int(steps_per_epoch * loops), 1)
         if step - session_start_step >= session_steps:
@@ -478,7 +482,7 @@ def train_vocoder(
 
         done = False
         for epoch in range(n_epochs):
-            for batch in (probe if epoch == 0 else epoch_batches(session_idx)):
+            for batch in epoch_batches(session_idx):
                 if step - session_start_step >= session_steps:
                     break
                 lr = linear_session_lr(
