@@ -112,3 +112,10 @@ def main():
 
 if __name__ == "__main__":
     main()
+    # The axon PJRT client can hang in teardown after remote compiles; the
+    # output is already flushed, so exit hard to keep CI/driver runs snappy.
+    import os
+    import sys
+
+    sys.stdout.flush()
+    os._exit(0)
