@@ -7,15 +7,18 @@ from pathlib import Path
 from rtvc_tpu import toolbox as tb
 
 
-def _load_models(args, box: tb.Toolbox):
+def _load_models(args, box: tb.Toolbox, need_synthesis: bool = True):
+    """Load the models a command actually needs: embed/project only use the
+    encoder; clone/autotune need the full triplet."""
     from rtvc_tpu.inference import encoder, synthesizer, vocoder
 
     if args.enc_model_fpath.exists():
         encoder.load_model(args.enc_model_fpath)
-        synth = synthesizer.Synthesizer(args.syn_model_fpath, verbose=False)
-        synth.load()
-        vocoder.load_model(args.voc_model_fpath, voc_type=args.vocoder_backend)
-        box.synthesizer = synth
+        if need_synthesis:
+            synth = synthesizer.Synthesizer(args.syn_model_fpath, verbose=False)
+            synth.load()
+            vocoder.load_model(args.voc_model_fpath, voc_type=args.vocoder_backend)
+            box.synthesizer = synth
     else:
         print("No trained models found — using random weights.")
         import demo_cli
@@ -71,12 +74,12 @@ if __name__ == "__main__":
         for f in box.browse_datasets(args.max):
             print(f)
     elif args.cmd == "embed":
-        _load_models(args, box)
+        _load_models(args, box, need_synthesis=False)
         utt = box.load_utterance(args.wav)
         out = box.save_embedding_heatmap(utt)
         print("Saved embedding heatmap to %s" % out)
     elif args.cmd == "project":
-        _load_models(args, box)
+        _load_models(args, box, need_synthesis=False)
         for w in args.wavs:
             box.load_utterance(w)
         out = box.save_projection()

@@ -40,14 +40,27 @@ def load_model(weights_fpath: Union[str, Path], device=None, use_tqdm: bool = Fa
     ``device`` is accepted for API compatibility and ignored — JAX placement
     is controlled by the platform (ref signature: encoder/inference.py:16).
     """
-    global _model, _params
+    global _model, _params, _model_cfg, _data
     ckpt = load_checkpoint(weights_fpath)
+    # Checkpoints written by train_encoder carry their architecture config —
+    # recover it so non-default models reload exactly (cf. the synthesizer /
+    # vocoder checkpoint contract).
+    extras = ckpt.get("extras") or {}
+    cfg = extras.get("config")
+    if cfg:
+        _model_cfg = EncoderModelParams(**cfg["model"])
+        _data = EncoderDataParams(**cfg["data"])
     _model = SpeakerEncoder(model=_model_cfg, data=_data)
     if ckpt.get("torch_state") is not None:
         state = import_torch_state(ckpt["torch_state"])
         _params = {"params": state["params"]}
     else:
-        _params = {"params": ckpt["params"]}
+        params = ckpt["params"]
+        if isinstance(params, dict) and set(params) == {"model", "similarity"}:
+            # train_encoder saves {model, similarity(GE2E w,b)} — inference
+            # only needs the model tree.
+            params = params["model"]
+        _params = {"params": params}
     print(
         'Loaded encoder "%s" trained to step %d'
         % (Path(weights_fpath).name, ckpt["step"])
@@ -68,9 +81,9 @@ def is_loaded() -> bool:
     return _model is not None
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _forward(params, frames: jax.Array) -> jax.Array:
-    model = SpeakerEncoder(model=_model_cfg, data=_data)
+@functools.partial(jax.jit, static_argnames=("model_cfg", "data_cfg"))
+def _forward(params, frames: jax.Array, model_cfg, data_cfg) -> jax.Array:
+    model = SpeakerEncoder(model=model_cfg, data=data_cfg)
     return model.apply(params, frames)
 
 
@@ -92,7 +105,9 @@ def embed_frames_batch(frames_batch: np.ndarray) -> np.ndarray:
     if bucket != n:
         pad = np.zeros((bucket - n,) + frames_batch.shape[1:], frames_batch.dtype)
         frames_batch = np.concatenate([frames_batch, pad], axis=0)
-    embeds = np.asarray(_forward(_params, jnp.asarray(frames_batch)))
+    embeds = np.asarray(
+        _forward(_params, jnp.asarray(frames_batch), _model_cfg, _data)
+    )
     return embeds[:n]
 
 

@@ -171,6 +171,11 @@ def train_encoder(
     step_fn = make_encoder_train_step(
         model, optimizer, speakers_per_batch, utterances_per_speaker
     )
+    # Architecture config rides in the checkpoint so inference reloads the
+    # exact model (same contract as the synthesizer/vocoder trainers).
+    enc_extras = {
+        "config": {"model": model.model.asdict(), "data": model.data.asdict()}
+    }
     profiler = Profiler(summarize_every=10, disabled=not profile)
     loss_window = ValueWindow(100)
     time_window = ValueWindow(100)
@@ -202,9 +207,9 @@ def train_encoder(
         )
         profiler.tick("metrics")
 
-        cadence.maybe_save(step, params, opt_state)
+        cadence.maybe_save(step, params, opt_state, extras=enc_extras)
 
-    cadence.maybe_save(step, params, opt_state, force=True)
+    cadence.maybe_save(step, params, opt_state, extras=enc_extras, force=True)
     print()
     return {"step": step, "params": params, **last_metrics}
 
