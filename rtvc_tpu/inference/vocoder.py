@@ -24,6 +24,36 @@ _cpp_model = None
 _seed: int = 0
 _gen_counter: int = 0
 
+# Generation backend knobs. use_pallas None = auto: the fused Pallas kernel
+# on TPU (the headline-perf path), the XLA scan elsewhere. On any Pallas
+# failure (e.g. fatchord-512 f32 weights exceed the 16 MB VMEM scoped limit)
+# we fall back to XLA once and remember.
+_use_pallas: Optional[bool] = None
+_compute_dtype = None
+_pallas_broken = False
+
+
+def set_generation_options(use_pallas: Optional[bool] = None,
+                           compute_dtype=None):
+    """Override generation backend defaults. ``use_pallas``: True/False to
+    force, None to restore auto (TPU → Pallas). ``compute_dtype``: dtype for
+    resident weights in the generate graph (e.g. ``jnp.bfloat16`` halves the
+    Pallas VMEM footprint — required for fatchord-512)."""
+    global _use_pallas, _compute_dtype, _pallas_broken
+    _use_pallas = use_pallas
+    _compute_dtype = compute_dtype
+    _pallas_broken = False
+
+
+def _gen_backend():
+    import jax.numpy as jnp
+
+    dtype = _compute_dtype if _compute_dtype is not None else jnp.float32
+    if _use_pallas is not None:
+        return (_use_pallas and not _pallas_broken), dtype
+    is_tpu = jax.devices()[0].platform == "tpu"
+    return (is_tpu and not _pallas_broken), dtype
+
 
 def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bool = True):
     """Load vocoder weights; model type auto-detected from the checkpoint
@@ -108,17 +138,27 @@ def infer_waveform(
 
     _gen_counter += 1
     key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
-    wav = wavernn_generate(
-        _model.variables,
-        _model.dims,
-        np.asarray(mel, dtype=np.float32),
-        key,
-        batched=batched,
-        target=target,
-        overlap=overlap,
-        mu_law=cfg.mu_law,
-        apply_preemphasis=sp.preemphasize,
+    use_pallas, dtype = _gen_backend()
+    kwargs = dict(
+        batched=batched, target=target, overlap=overlap, mu_law=cfg.mu_law,
+        apply_preemphasis=sp.preemphasize, compute_dtype=dtype,
     )
+    try:
+        wav = wavernn_generate(
+            _model.variables, _model.dims,
+            np.asarray(mel, dtype=np.float32), key,
+            use_pallas=use_pallas, **kwargs,
+        )
+    except Exception:
+        if not use_pallas:
+            raise
+        global _pallas_broken
+        _pallas_broken = True
+        wav = wavernn_generate(
+            _model.variables, _model.dims,
+            np.asarray(mel, dtype=np.float32), key,
+            use_pallas=False, **kwargs,
+        )
     if progress_callback is not None:
         progress_callback(len(wav), len(wav), 1, 0.0)
     return wav
@@ -147,10 +187,23 @@ def infer_waveforms(
         mels = [m / sp.max_abs_value for m in mels]
     _gen_counter += 1
     key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
-    return wavernn_generate_batch(
-        _model.variables, _model.dims, mels, key, target=target,
-        overlap=overlap, mu_law=cfg.mu_law, apply_preemphasis=sp.preemphasize,
-    )
+    use_pallas, dtype = _gen_backend()
+    kwargs = dict(target=target, overlap=overlap, mu_law=cfg.mu_law,
+                  apply_preemphasis=sp.preemphasize, compute_dtype=dtype)
+    try:
+        return wavernn_generate_batch(
+            _model.variables, _model.dims, mels, key,
+            use_pallas=use_pallas, **kwargs,
+        )
+    except Exception:
+        if not use_pallas:
+            raise
+        global _pallas_broken
+        _pallas_broken = True
+        return wavernn_generate_batch(
+            _model.variables, _model.dims, mels, key,
+            use_pallas=False, **kwargs,
+        )
 
 
 def set_seed(seed: int) -> None:

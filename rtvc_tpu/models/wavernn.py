@@ -781,9 +781,9 @@ def wavernn_generate(
             constant_values=-1.0,
         )
 
-    # The Pallas backend covers categorical heads only
+    # The Pallas backend covers categorical + MOL heads (not geneing's beta)
     use_pallas = use_pallas and not (
-        d.mode == MODE_MOL or (d.mode == MODE_RAW and d.variant == VOC_GENEING)
+        d.mode == MODE_RAW and d.variant == VOC_GENEING
     )
     output = _generate_pipeline(
         variables, d, mels, key, batched, target, overlap, mu_law,
@@ -819,7 +819,7 @@ def wavernn_generate_batch(
     """
     mu_law = mu_law if d.mode == MODE_RAW else False
     use_pallas = use_pallas and not (
-        d.mode == MODE_MOL or (d.mode == MODE_RAW and d.variant == VOC_GENEING)
+        d.mode == MODE_RAW and d.variant == VOC_GENEING
     )
 
     N = len(mels_list)

@@ -16,9 +16,12 @@ automatically through the sequential grid:
   * sampling runs in-kernel: greedy argmax, or Gumbel argmax over the
     per-core TPU PRNG (`pltpu.prng_*`) for stochastic decoding.
 
-Modes: RAW/BITS categorical heads (fatchord/runtimeracer/geneing-BITS).
-MOL/beta heads keep the XLA path. Weight layout is the same hoisted form
-``generate_core`` uses, so the two backends are interchangeable per call.
+Modes: RAW/BITS categorical heads (fatchord/runtimeracer/geneing-BITS) and
+the MOL head (Gumbel component pick + inverse-CDF logistic draw in-kernel).
+Only geneing's 2-parameter beta head keeps the XLA path (beta sampling needs
+gamma rejection sampling — poor fit for a fused kernel). Weight layout is the
+same hoisted form ``generate_core`` uses, so the backends are interchangeable
+per call.
 """
 from __future__ import annotations
 
@@ -191,17 +194,48 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
                 f = jnp.maximum(mm(f, fc4_w[:]) + fc4_b[0], 0.0)
                 logits = mm(f, fc5_w[:]) + fc5_b[0]
 
-            # mask padded class columns so they never win the argmax
-            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            logits = jnp.where(col < d.n_classes, logits, -1e30)
-
-            if not argmax:
-                bits = pltpu.prng_random_bits(logits.shape)
+            def rand_uniform(shape, lo, hi):
+                bits = pltpu.prng_random_bits(shape)
                 u = (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24))
-                u = jnp.clip(u, 1e-9, 1.0 - 1e-9)
-                logits = logits - jnp.log(-jnp.log(u))
-            label = jnp.argmax(logits, axis=1).astype(jnp.float32)
-            sample = 2.0 * label / (d.n_classes - 1.0) - 1.0
+                return jnp.clip(u, lo, hi)
+
+            col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
+            if d.mode == "MOL":
+                # Discretized-mix-of-logistics head: the C columns are
+                # [logit_probs | means | log_scales] × nr_mix. Component by
+                # (Gumbel) argmax, then inverse-CDF logistic draw — same
+                # semantics as distribution.sample_from_discretized_mix_logistic.
+                k_mix = d.n_classes // 3
+                probs = jnp.where(col < k_mix, logits, -1e30)
+                if not argmax:
+                    u = rand_uniform(logits.shape, 1e-5, 1.0 - 1e-5)
+                    probs = probs - jnp.log(-jnp.log(u))
+                comp = jnp.argmax(probs, axis=1)
+                mean = jnp.sum(
+                    jnp.where(col == comp[:, None] + k_mix, logits, 0.0), axis=1
+                )
+                log_scale = jnp.sum(
+                    jnp.where(col == comp[:, None] + 2 * k_mix, logits, 0.0),
+                    axis=1,
+                )
+                log_scale = jnp.maximum(log_scale, -32.23619130191664)  # ln 1e-14
+                if argmax:
+                    sample = jnp.clip(mean, -1.0, 1.0)
+                else:
+                    u2 = rand_uniform(logits.shape, 1e-5, 1.0 - 1e-5)[:, 0]
+                    sample = mean + jnp.exp(log_scale) * (
+                        jnp.log(u2) - jnp.log(1.0 - u2)
+                    )
+                    sample = jnp.clip(sample, -1.0, 1.0)
+            else:
+                # Categorical head: mask padded class columns so they never
+                # win the argmax.
+                logits = jnp.where(col < d.n_classes, logits, -1e30)
+                if not argmax:
+                    u = rand_uniform(logits.shape, 1e-9, 1.0 - 1e-9)
+                    logits = logits - jnp.log(-jnp.log(u))
+                label = jnp.argmax(logits, axis=1).astype(jnp.float32)
+                sample = 2.0 * label / (d.n_classes - 1.0) - 1.0
             prev_scr[0] = sample.astype(prev_scr.dtype)
             out_ref[k] = sample
             return 0
@@ -233,8 +267,8 @@ def generate_core_pallas(
     """
     from jax.experimental import pallas as pl
 
-    assert not (d.mode == "MOL" or (d.mode == "RAW" and d.variant == VOC_GENEING)), (
-        "MOL/beta heads use the XLA path"
+    assert not (d.mode == "RAW" and d.variant == VOC_GENEING), (
+        "the beta head uses the XLA path"
     )
 
     # compute_dtype = resident weights; stream_dtype = per-step conditioning

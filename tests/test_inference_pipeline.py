@@ -113,3 +113,25 @@ class TestBatchedVocoding:
         for m, w in zip(mels, wavs):
             assert len(w) == (m.shape[1] - 1) * 200
             assert np.isfinite(w).all()
+
+
+class TestGenerationBackendOptions:
+    def test_forced_pallas_falls_back_on_cpu(self, tiny_models):
+        """Forcing the Pallas backend where it can't run (CPU) must fall back
+        to the XLA path once and remember, not crash the public API."""
+        rng = np.random.default_rng(6)
+        mel = rng.uniform(-4, 4, (80, 20)).astype(np.float32)
+        voc_inf.set_generation_options(use_pallas=True)
+        try:
+            wav = voc_inf.infer_waveform(mel, target=400, overlap=100)
+            assert np.isfinite(wav).all() and len(wav) == (20 - 1) * 200
+            assert voc_inf._pallas_broken
+            # second call goes straight to XLA (no retry loop)
+            wav2 = voc_inf.infer_waveform(mel, target=400, overlap=100)
+            assert np.isfinite(wav2).all()
+        finally:
+            voc_inf.set_generation_options()
+
+    def test_auto_backend_is_xla_on_cpu(self, tiny_models):
+        use_pallas, _ = voc_inf._gen_backend()
+        assert not use_pallas

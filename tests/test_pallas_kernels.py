@@ -79,3 +79,38 @@ class TestWaveRNNKernel:
 
     def test_geneing_bits_matches_xla(self):
         self._parity("geneing-wavernn", "BITS")
+
+    def test_fatchord_mol_matches_xla(self):
+        # MOL argmax = pick the most-likely component, emit its clipped mean —
+        # deterministic, so XLA and Pallas must agree exactly.
+        self._parity("fatchord-wavernn", "MOL")
+
+    def test_runtimeracer_mol_matches_xla(self):
+        self._parity("runtimeracer-wavernn", "MOL")
+
+    def test_mol_stochastic_sampling_in_range(self):
+        # pltpu.prng_* has no CPU-interpret lowering — TPU hardware only.
+        import pytest
+
+        if jax.devices()[0].platform != "tpu":
+            pytest.skip("pltpu.prng_seed requires real TPU hardware")
+        from rtvc_tpu.models.wavernn import init_wavernn, upsample_forward
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        d = self._dims("fatchord-wavernn", "MOL")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray(rng.uniform(-1, 1, (2, d.feat_dims, 12)), jnp.float32)
+        mels = jnp.pad(mel, ((0, 0), (0, 0), (d.pad, d.pad)))
+        mu, aux, _ = upsample_forward(
+            variables["params"]["upsample"],
+            variables["batch_stats"]["upsample"], d, mels, train=False,
+        )
+        got = np.asarray(
+            generate_core_pallas(variables, d, mu, aux, jax.random.PRNGKey(3))
+        )
+        assert got.shape == (2, mu.shape[1])
+        assert np.isfinite(got).all()
+        assert (got >= -1.0).all() and (got <= 1.0).all()
+        # logistic-noise draws must actually perturb the samples
+        assert got.std() > 1e-4
