@@ -31,6 +31,11 @@ SCRIPTS = [
     "scripts/tedlium.py",
     "scripts/timit.py",
     "scripts/flatten_speakers.py",
+    "scripts/nasjonalbank_speakers.py",
+    "scripts/slr_speakers.py",
+    "scripts/slr82_speakers.py",
+    "scripts/clean_encoder_dataset.py",
+    "scripts/merge_synthesizer_datasets.py",
 ]
 
 
