@@ -28,6 +28,26 @@ from rtvc_tpu.utils.io import load_wav
 
 _CHAR_BUCKET = 32
 
+# Decoder backend: None = auto (fused Pallas kernel on TPU, XLA elsewhere);
+# True/False forces. Any Pallas failure falls back to XLA and is remembered.
+_USE_PALLAS_DECODER: Optional[bool] = None
+_pallas_decoder_broken = False
+
+
+def set_decoder_backend(use_pallas: Optional[bool] = None) -> None:
+    """Force (True/False) or restore auto (None) decoder backend selection."""
+    global _USE_PALLAS_DECODER, _pallas_decoder_broken
+    _USE_PALLAS_DECODER = use_pallas
+    _pallas_decoder_broken = False
+
+
+def _decoder_backend() -> bool:
+    if _pallas_decoder_broken:
+        return False
+    if _USE_PALLAS_DECODER is not None:
+        return _USE_PALLAS_DECODER
+    return jax.devices()[0].platform == "tpu"
+
 
 def pad1d(x, max_len, pad_value=0):
     return np.pad(x, (0, max_len - len(x)), mode="constant", constant_values=pad_value)
@@ -158,21 +178,56 @@ class Synthesizer:
         return (specs, alignments) if return_alignments else specs
 
     def _decode_fn(self, d, r, max_steps):
-        """Per-(dims, r, max_steps) cached jitted decoder — a fresh jit per
-        call would retrace every request."""
+        """Per-(dims, r, max_steps) cached decoder — a fresh jit per call
+        would retrace every request. On TPU the fused Pallas decoder kernel
+        is used (~1.7× the XLA while_loop); any Pallas failure falls back
+        to XLA once and is remembered."""
         from rtvc_tpu.models import tacotron as taco
 
-        key = (d, r, max_steps)
+        key = (d, r, max_steps, _decoder_backend())
         cache = getattr(self, "_decode_cache", None)
         if cache is not None and cache[0] == key:
             return cache[1]
 
         @jax.jit
-        def _decode(variables, chars, embeds, rng):
+        def _decode_xla(variables, chars, embeds, rng):
             return taco.tacotron_generate(
                 variables, d, chars, embeds, r, rng, max_steps=max_steps,
                 compute_linear=False,
             )
+
+        if not _decoder_backend():
+            self._decode_cache = (key, _decode_xla)
+            return _decode_xla
+
+        from rtvc_tpu.ops.pallas import tacotron_kernel as tkern
+
+        @jax.jit
+        def _encode(variables, chars, embeds, rng):
+            enc_seq, enc_proj, _ = taco.encode(
+                variables, d, chars, embeds, train=False, rng=rng
+            )
+            return enc_seq, enc_proj
+
+        def _decode(variables, chars, embeds, rng):
+            global _pallas_decoder_broken
+            try:
+                k_enc, k_dec = jax.random.split(rng)
+                enc_seq, enc_proj = _encode(variables, chars, embeds, k_enc)
+                mask = (chars != 0).astype(jnp.float32)
+                mel, attn, stops = tkern.decode_pallas(
+                    variables, d, enc_seq, enc_proj, mask, k_dec,
+                    r=r, max_steps=max_steps,
+                )
+                stops = np.asarray(stops)
+                it = np.arange(stops.shape[1])
+                fired = np.all(stops > 0.5, axis=0) & (it * r > 10)
+                n_iters = (int(np.argmax(fired)) + 1 if fired.any()
+                           else stops.shape[1])
+                return mel, None, attn, n_iters * r
+            except Exception:
+                _pallas_decoder_broken = True
+                return _decode_xla(variables, chars, embeds, rng)
 
         self._decode_cache = (key, _decode)
         return _decode

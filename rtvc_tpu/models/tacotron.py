@@ -282,15 +282,27 @@ def decoder_step(
     char_mask: jax.Array,
     rng: jax.Array,
     train: bool,
+    prenet_dropout: bool = True,
 ) -> Tuple[DecoderCarry, jax.Array, jax.Array, jax.Array]:
     """One decoder iteration → (carry, mels (B, n_mels, r), scores (B, T),
-    stop (B, 1)) (ref: tacotron.py:244-299)."""
+    stop (B, 1)) (ref: tacotron.py:244-299). ``prenet_dropout=False`` is a
+    deterministic test hook for cross-backend parity (the reference keeps
+    prenet dropout on even at inference)."""
     mods = _modules(d)
     k_pre, k_zo1, k_zo2 = jax.random.split(rng, 3)
 
-    prenet_out = mods["dec_prenet"].apply(
-        {"params": params["dec_prenet"]}, prenet_in, rngs={"dropout": k_pre}
-    )
+    if prenet_dropout:
+        prenet_out = mods["dec_prenet"].apply(
+            {"params": params["dec_prenet"]}, prenet_in, rngs={"dropout": k_pre}
+        )
+    else:
+        pp = params["dec_prenet"]
+        h = jax.nn.relu(
+            jnp.dot(prenet_in, pp["fc1"]["weight"].T) + pp["fc1"]["bias"]
+        )
+        prenet_out = jax.nn.relu(
+            jnp.dot(h, pp["fc2"]["weight"].T) + pp["fc2"]["bias"]
+        )
 
     # Attention GRU
     attn_rnn_in = jnp.concatenate([carry.context_vec, prenet_out], axis=-1)
@@ -450,6 +462,7 @@ def tacotron_generate(
     rng: jax.Array,
     max_steps: int = 2000,
     compute_linear: bool = False,
+    prenet_dropout: bool = True,
 ) -> Tuple[jax.Array, Optional[jax.Array], jax.Array, jax.Array]:
     """Autoregressive generation with data-dependent stopping
     (ref: tacotron.py:393-450).
@@ -480,7 +493,7 @@ def tacotron_generate(
         key = jax.random.fold_in(k_dec, i)
         carry, m, scores, stop = decoder_step(
             params, d, r, carry, prev_frame, encoder_seq, encoder_seq_proj,
-            char_mask, key, False,
+            char_mask, key, False, prenet_dropout=prenet_dropout,
         )
         mel_buf = jax.lax.dynamic_update_slice(mel_buf, m, (0, 0, i * r))
         attn_buf = jax.lax.dynamic_update_slice(

@@ -441,6 +441,16 @@ def generate_core_pallas(
             in_specs.append(const_spec(x.shape))
 
     kernel = _make_kernel(d, Bp, T, n_tiles, argmax, R, C)
+    kwargs = {}
+    if vmem is not None and not interpret:
+        from jax.experimental.pallas import tpu as pltpu
+
+        # v5e has far more physical VMEM than the 16 MB default scoped
+        # limit; raising it lets wide variants (fatchord-512) keep f32
+        # weights resident instead of falling back to XLA.
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        )
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -450,6 +460,7 @@ def generate_core_pallas(
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=interpret,
+        **kwargs,
     )(*inputs)
 
     return jnp.swapaxes(out, 0, 1)[:B, :T]

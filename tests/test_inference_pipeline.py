@@ -135,3 +135,20 @@ class TestGenerationBackendOptions:
     def test_auto_backend_is_xla_on_cpu(self, tiny_models):
         use_pallas, _ = voc_inf._gen_backend()
         assert not use_pallas
+
+    def test_forced_pallas_decoder_falls_back_on_cpu(self, tiny_models):
+        """Forcing the Pallas Tacotron decoder on CPU (no Mosaic) must fall
+        back to the XLA while_loop inside synthesize_spectrograms."""
+        from rtvc_tpu.inference import synthesizer as syn_mod
+
+        synth = tiny_models
+        syn_mod.set_decoder_backend(True)
+        try:
+            embed = np.random.default_rng(0).uniform(0, 1, 768).astype(np.float32)
+            embed /= np.linalg.norm(embed)
+            [mel] = synth.synthesize_spectrograms(["backend fallback"], [embed])
+            assert mel.shape[0] == 80 and np.isfinite(mel).all()
+            assert syn_mod._pallas_decoder_broken
+        finally:
+            syn_mod.set_decoder_backend()
+            synth._decode_cache = None

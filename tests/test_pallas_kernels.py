@@ -88,6 +88,66 @@ class TestWaveRNNKernel:
     def test_runtimeracer_mol_matches_xla(self):
         self._parity("runtimeracer-wavernn", "MOL")
 
+    def test_tacotron_decoder_matches_xla(self):
+        """Interpret-mode parity of the fused decoder against a manual
+        decoder_step loop (dropout off → deterministic). Also checks the
+        early-stop rule (kernel stops exactly where the while_loop would)."""
+        from rtvc_tpu.models.tacotron import (
+            TacotronDims,
+            decoder_step,
+            encode,
+            init_decoder_carry,
+            init_tacotron,
+        )
+        from rtvc_tpu.ops.pallas.tacotron_kernel import decode_pallas
+
+        d = TacotronDims(
+            num_chars=40, n_mels=16, fft_bins=16, speaker_embedding_size=24,
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, postnet_K=2, num_highways=2, lstm_dims=16,
+            max_r=4, dropout=0.5, stop_threshold=-3.4,
+        )
+        variables = init_tacotron(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(0)
+        chars = jnp.asarray(
+            np.where(np.arange(16)[None, :] < 12,
+                     rng.integers(1, 40, (2, 16)), 0), jnp.int32
+        )
+        spk = jnp.asarray(rng.standard_normal((2, 24)), jnp.float32)
+        r = 2
+        k_enc, k_dec = jax.random.split(jax.random.PRNGKey(3))
+        enc_seq, enc_proj, _ = encode(variables, d, chars, spk,
+                                      train=False, rng=k_enc)
+        mask = (chars != 0).astype(jnp.float32)
+
+        carry = init_decoder_carry(d, 2, 16)
+        prev = jnp.zeros((2, d.n_mels))
+        refs = []
+        done_at = None
+        for i in range(12):
+            carry, m, sc, st = decoder_step(
+                variables["params"], d, r, carry, prev, enc_seq, enc_proj,
+                mask, jax.random.fold_in(k_dec, i), False,
+                prenet_dropout=False,
+            )
+            refs.append((np.asarray(m), np.asarray(sc)))
+            prev = m[:, :, -1]
+            if done_at is None and bool(jnp.all(st > 0.5)) and i * r > 10:
+                done_at = i
+
+        mel_p, attn_p, stops_p = decode_pallas(
+            variables, d, enc_seq, enc_proj, mask, k_dec, r=r, max_steps=24,
+            dropout=False, interpret=True,
+        )
+        mel_p, attn_p = np.asarray(mel_p), np.asarray(attn_p)
+        active = done_at + 1 if done_at is not None else 12
+        for i in range(active):
+            m, sc = refs[i]
+            np.testing.assert_allclose(mel_p[:, :, i*r:(i+1)*r], m, atol=1e-5)
+            np.testing.assert_allclose(attn_p[:, i], sc, atol=1e-6)
+        if done_at is not None:  # kernel zeroed everything past the stop
+            assert np.abs(mel_p[:, :, active*r:]).max() == 0.0
+
     def test_mol_stochastic_sampling_in_range(self):
         # pltpu.prng_* has no CPU-interpret lowering — TPU hardware only.
         import pytest
