@@ -88,6 +88,9 @@ class TestWaveRNNKernel:
     def test_runtimeracer_mol_matches_xla(self):
         self._parity("runtimeracer-wavernn", "MOL")
 
+    def test_geneing_mol_matches_xla(self):
+        self._parity("geneing-wavernn", "MOL")
+
     def test_tacotron_decoder_matches_xla(self):
         """Interpret-mode parity of the fused decoder against a manual
         decoder_step loop (dropout off → deterministic). Also checks the
