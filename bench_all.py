@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -57,12 +58,23 @@ def main():
     rng = np.random.default_rng(0)
 
     # ---- 1. encoder embed -------------------------------------------------
+    # BASELINE.json config 1 measures on the actual reference sample
+    # samples/p240_00000.mp3 (decoded via libmpg123); a synthetic 5 s prompt
+    # is the fallback when the corpus is absent.
     encoder.init_random_model(seed=0)
-    prompt = (0.3 * np.sin(2 * np.pi * 220 * np.arange(5 * 16000) / 16000)
-              + 0.02 * rng.standard_normal(5 * 16000)).astype(np.float32)
+    sample_fpath = Path("/root/reference/samples/p240_00000.mp3")
+    try:
+        from rtvc_tpu.utils.io import load_wav
+
+        prompt, _ = load_wav(sample_fpath, target_sr=16000)
+        prompt_src = sample_fpath.name
+    except Exception:
+        prompt = (0.3 * np.sin(2 * np.pi * 220 * np.arange(5 * 16000) / 16000)
+                  + 0.02 * rng.standard_normal(5 * 16000)).astype(np.float32)
+        prompt_src = "synthetic_sine"
     wav_pre = encoder.preprocess_wav(prompt)
     dt = timeit(lambda: encoder.embed_utterance(wav_pre))
-    emit("embed_utterance_5s", dt * 1000, "ms")
+    emit("embed_utterance_5s", dt * 1000, "ms", {"prompt": prompt_src})
     embed = encoder.embed_utterance(wav_pre)
 
     # ---- 2. Tacotron + Griffin-Lim ----------------------------------------

@@ -8,8 +8,9 @@ Runs the same two phases as the reference:
      waveform → wav on disk (ref: demo_cli.py:129-225).
 
 Differences from the reference environment: audio playback (sounddevice) is
-unavailable here, so generated audio is always written to disk; mp3 decoding
-is gated (no decoder in the image).
+unavailable here, so generated audio is always written to disk. mp3 decoding
+works through the system libmpg123 (rtvc_tpu.utils.mpeg); `--no_mp3_support`
+disables it like the reference flag does (ref: demo_cli.py:44-55).
 """
 import argparse
 import os
@@ -61,6 +62,16 @@ def config_test(args):
 
     print("Running a test of your configuration...\n")
     print("Devices: %s" % (jax.devices(),))
+
+    # mp3 support probe (ref: demo_cli.py:44-55 decodes samples/1320_00000.mp3)
+    if not args.no_mp3_support:
+        from rtvc_tpu.utils import mpeg
+
+        if mpeg.mpeg_supported():
+            print("mp3 support: available (libmpg123)")
+        else:
+            print("mp3 support: NOT available — pass wav files only "
+                  "(or install libmpg123)")
 
     if args.enc_model_fpath.exists():
         encoder.load_model(args.enc_model_fpath)
@@ -172,8 +183,8 @@ if __name__ == "__main__":
     parser.add_argument("--no_sound", action="store_true",
                         help="Accepted for API compat; audio is always saved to disk.")
     parser.add_argument("--no_mp3_support", action="store_true",
-                        help="Accepted for API compat; mp3 decode is gated in "
-                             "this environment regardless.")
+                        help="Skip the mp3 support probe (mp3 decode itself "
+                             "uses the system libmpg123 when present).")
     parser.add_argument("--selftest", action="store_true",
                         help="Run only the configuration test and exit.")
     args = parser.parse_args()

@@ -113,7 +113,7 @@ def embed_frames_batch(frames_batch: np.ndarray) -> np.ndarray:
 
 def compute_partial_slices(
     n_samples: int,
-    partial_utterance_n_frames: int = _data.partials_n_frames,
+    partial_utterance_n_frames: Optional[int] = None,
     min_pad_coverage: float = 0.75,
     overlap: float = 0.5,
 ) -> Tuple[List[slice], List[slice]]:
@@ -122,7 +122,12 @@ def compute_partial_slices(
     Host-side slicing logic with the reference's exact semantics
     (ref: encoder/inference.py:64-113): 160-frame windows, 50% overlap, the
     trailing window kept only if it covers ≥75% after padding.
+    ``partial_utterance_n_frames`` defaults to the *currently installed*
+    config's ``partials_n_frames`` (resolved at call time, so a checkpoint
+    that overrides it is honoured).
     """
+    if partial_utterance_n_frames is None:
+        partial_utterance_n_frames = _data.partials_n_frames
     assert 0 <= overlap < 1
     assert 0 < min_pad_coverage <= 1
 

@@ -11,6 +11,7 @@ shapes. The postnet runs on frame buckets padded with the silence mel value
 """
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Callable, List, Optional, Union
 
@@ -25,6 +26,8 @@ from rtvc_tpu.ops import audio as audio_ops
 from rtvc_tpu.text import text_to_sequence
 from rtvc_tpu.train.checkpoints import load_checkpoint
 from rtvc_tpu.utils.io import load_wav
+
+logger = logging.getLogger(__name__)
 
 _CHAR_BUCKET = 32
 
@@ -225,8 +228,16 @@ class Synthesizer:
                 n_iters = (int(np.argmax(fired)) + 1 if fired.any()
                            else stops.shape[1])
                 return mel, None, attn, n_iters * r
+            except (ValueError, TypeError):
+                # Caller-input errors, not a backend failure — surface them.
+                raise
             except Exception:
                 _pallas_decoder_broken = True
+                logger.exception(
+                    "Pallas Tacotron decoder failed; falling back to the XLA "
+                    "while_loop path for this and all later calls (reset "
+                    "with set_decoder_backend())."
+                )
                 return _decode_xla(variables, chars, embeds, rng)
 
         self._decode_cache = (key, _decode)
@@ -341,6 +352,7 @@ def synthesize_spectrograms(
     speed_modifier: float = 1.0,
     pitch_function=None,
     energy_function=None,
+    seed: int = 0,
 ):
     if not is_loaded():
         raise Exception("Please load Synthesizer in memory before using it")
@@ -351,6 +363,7 @@ def synthesize_spectrograms(
         speed_modifier=speed_modifier,
         pitch_function=pitch_function,
         energy_function=energy_function,
+        seed=seed,
     )
 
 

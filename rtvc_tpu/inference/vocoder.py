@@ -6,11 +6,14 @@ the compat name) and the native C++ engine (``voc_type='libwavernn'``,
 see rtvc_tpu/native)."""
 from __future__ import annotations
 
+import logging
 from pathlib import Path
 from typing import Optional
 
 import jax
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 from rtvc_tpu.config import signal as _sig
 from rtvc_tpu.config import vocoder as _voc_cfg
@@ -149,11 +152,20 @@ def infer_waveform(
             np.asarray(mel, dtype=np.float32), key,
             use_pallas=use_pallas, **kwargs,
         )
+    except (ValueError, TypeError):
+        # Input/shape errors are the caller's bug, not a Pallas-backend
+        # failure — surface them instead of silently degrading the backend.
+        raise
     except Exception:
         if not use_pallas:
             raise
         global _pallas_broken
         _pallas_broken = True
+        logger.exception(
+            "Pallas WaveRNN generation failed; falling back to the XLA scan "
+            "path for this and all later calls (reset with "
+            "set_generation_options())."
+        )
         wav = wavernn_generate(
             _model.variables, _model.dims,
             np.asarray(mel, dtype=np.float32), key,

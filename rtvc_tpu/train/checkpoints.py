@@ -84,7 +84,7 @@ def _restore_lists(tree: Any) -> Any:
     return tree
 
 
-def load_checkpoint(path: str | Path) -> Dict[str, Any]:
+def load_checkpoint(path: str | Path, trust_pickle: bool = False) -> Dict[str, Any]:
     """Load a checkpoint → dict with step / model_type / params / opt_state /
     extras. Reference torch ``.pt`` files are detected and returned as
     ``{"torch_state": state_dict, "step": ..., "model_type": ...}`` for the
@@ -105,10 +105,23 @@ def load_checkpoint(path: str | Path) -> Dict[str, Any]:
                 "opt_state": _restore_lists(payload.get("opt_state")) or None,
                 "extras": extras,
             }
-    # Fall back to a torch checkpoint from the reference framework.
+    # Fall back to a torch checkpoint from the reference framework. Reference
+    # model_state dicts are plain tensors, so the safe weights-only loader
+    # handles them; a full-pickle load executes arbitrary code from the file
+    # and is only allowed behind an explicit opt-in.
     import torch
 
-    ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
+    try:
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=True)
+    except Exception:
+        if not trust_pickle:
+            raise RuntimeError(
+                f"{path} is not an RTVCTPU1 checkpoint and could not be "
+                "loaded with torch.load(weights_only=True). If you trust the "
+                "file, pass trust_pickle=True to allow a full pickle load "
+                "(this executes code embedded in the file)."
+            )
+        ckpt = torch.load(str(path), map_location="cpu", weights_only=False)
     state = {
         k: v.numpy() if hasattr(v, "numpy") else v
         for k, v in ckpt.get("model_state", {}).items()

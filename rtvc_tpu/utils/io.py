@@ -2,9 +2,10 @@
 
 The reference loads with librosa/audioread (any backend) and writes with
 scipy/soundfile (ref: synthesizer/audio.py:10-19, vocoder/audio.py:19-24).
-Here: WAV via scipy (all integer/float PCM subtypes), with resampling on load;
-compressed formats (mp3/flac/ogg) are gated — no decoder ships in this image —
-and raise a clear error listing alternatives.
+Here: WAV via scipy (all integer/float PCM subtypes) and mp3 via the system
+libmpg123 (rtvc_tpu.utils.mpeg), with resampling on load; other compressed
+formats (flac/ogg) are gated — no decoder ships in this image — and raise a
+clear error listing alternatives.
 """
 from __future__ import annotations
 
@@ -18,7 +19,8 @@ from rtvc_tpu.ops.resample import resample
 
 PathLike = Union[str, Path]
 
-_UNSUPPORTED = {".mp3", ".flac", ".ogg", ".m4a", ".aac", ".opus", ".wma"}
+_MPEG = {".mp3", ".mp2"}
+_UNSUPPORTED = {".flac", ".ogg", ".m4a", ".aac", ".opus", ".wma"}
 
 
 class UnsupportedAudioFormat(RuntimeError):
@@ -49,14 +51,24 @@ def load_wav(
     """
     path = Path(path)
     suffix = path.suffix.lower()
-    if suffix in _UNSUPPORTED:
+    if suffix in _MPEG:
+        from rtvc_tpu.utils import mpeg
+
+        if not mpeg.mpeg_supported():
+            raise UnsupportedAudioFormat(
+                f"{suffix} needs libmpg123, which was not found on this "
+                f"system. Convert {path.name} to WAV first."
+            )
+        wav, sr = mpeg.decode_mpeg(path)
+    elif suffix in _UNSUPPORTED:
         raise UnsupportedAudioFormat(
             f"No decoder for {suffix} is available in this environment. "
             f"Convert {path.name} to WAV first (e.g. with ffmpeg on another "
             f"machine), or pass a numpy waveform directly."
         )
-    sr, data = wavfile.read(str(path))
-    wav = _to_float32(np.asarray(data))
+    else:
+        sr, data = wavfile.read(str(path))
+        wav = _to_float32(np.asarray(data))
     if wav.ndim == 2:  # downmix channels
         wav = wav.mean(axis=1)
     if target_sr is not None and sr != target_sr:
