@@ -361,6 +361,7 @@ def _mel_synthesis(
     mel_lens: jax.Array,
     train: bool,
     rng: Optional[jax.Array],
+    exact_lengths: bool = False,
 ) -> Tuple[jax.Array, jax.Array, Dict]:
     """Shared trunk: embedding → prenet → ±pitch/energy proj → LR → spk concat
     → packed BiLSTM → mel head → postnet (ref: forward_tacotron.py:139-183,
@@ -405,6 +406,16 @@ def _mel_synthesis(
             mel, train=True, rngs=rngs, mutable=["batch_stats"],
         )
         new_stats["postnet"] = upd["batch_stats"]
+    elif exact_lengths:
+        # Generation runs the reference postnet on the UNPADDED sequence
+        # (ref forward_tacotron.py:254-256); emulate that on our padded
+        # buffer with length-masked CBHG semantics so the padded tail
+        # (which holds lin(padding_value) garbage) cannot bleed into valid
+        # frames through the postnet's backward GRU / convs.
+        post = mods["postnet"].apply(
+            {"params": params["postnet"], "batch_stats": stats["postnet"]},
+            mel, train=False, rngs=rngs, lengths=mel_lens,
+        )
     else:
         post = mods["postnet"].apply(
             {"params": params["postnet"], "batch_stats": stats["postnet"]},
@@ -519,10 +530,15 @@ def forward_generate(
     pitch_hat = np.swapaxes(pitch_hat, 1, 2)  # back to (B, T, 1)
     energy_hat = np.swapaxes(energy_hat, 1, 2)
 
+    # Degenerate-duration guard, exactly like the reference
+    # (forward_tacotron.py:194-195): the check TRUNCATES the raw float
+    # predictions (dur_hat.long()), so a prediction of e.g. 0.9 per phoneme
+    # counts as zero here even though the LengthRegulator below would round
+    # it up to 1 — in that case every phoneme is forced to duration 2.0.
+    if np.trunc(dur_hat).sum() <= 0:
+        dur_hat = np.full_like(dur_hat, 2.0)
     # Round like the reference LengthRegulator ((dur+0.5).long(), negatives→0)
     durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
-    if durations.sum() <= 0:
-        durations[:] = 2  # ref guard (forward_tacotron.py:194-195)
     mel_lens = durations.sum(axis=1)
     max_len = int(-(-int(mel_lens.max()) // 128) * 128)
 
@@ -532,6 +548,7 @@ def forward_generate(
         mel, mel_post, _ = _mel_synthesis(
             p, s, d, x, spk_emb, durations, pitch, energy,
             max_len=max_len, mel_lens=mel_lens, train=False, rng=None,
+            exact_lengths=True,
         )
         return mel, mel_post
 

@@ -182,13 +182,29 @@ class GRU(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: jax.Array, h0: Optional[jax.Array] = None
+        self,
+        x: jax.Array,
+        h0: Optional[jax.Array] = None,
+        lengths: Optional[jax.Array] = None,
     ) -> Tuple[jax.Array, jax.Array]:
+        """``lengths`` (B,) makes the recurrence length-exact: pad frames
+        neither advance the carry nor emit output, so the backward direction
+        starts from a zero state at each sequence's true last frame —
+        equivalent to running torch on the unpadded sequence (the reference
+        generate paths run at exact length, e.g. forward_tacotron.py:225-260).
+        """
         B, T, I = x.shape
         H = self.hidden_size
         scale = 1.0 / (H**0.5)
+        mask = (
+            None
+            if lengths is None
+            else (jnp.arange(T)[None, :] < lengths[:, None]).astype(x.dtype)
+        )
 
-        def run_direction(suffix: str, seq: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        def run_direction(
+            suffix: str, seq: jax.Array, m: Optional[jax.Array]
+        ) -> Tuple[jax.Array, jax.Array]:
             w_ih = self.param(f"weight_ih_l0{suffix}", _uniform_init(scale), (3 * H, I))
             w_hh = self.param(f"weight_hh_l0{suffix}", _uniform_init(scale), (3 * H, H))
             b_ih = self.param(f"bias_ih_l0{suffix}", _uniform_init(scale), (3 * H,))
@@ -197,17 +213,34 @@ class GRU(nn.Module):
             w_hh_t = w_hh.T
             h_init = jnp.zeros((B, H), dtype=x.dtype) if h0 is None else h0
 
-            def step(h, xg_t):
-                h = gru_step(xg_t, h, w_hh_t, b_hh)
-                return h, h
+            if m is None:
 
-            h_T, ys = jax.lax.scan(step, h_init, jnp.swapaxes(xg, 0, 1))
+                def step(h, xg_t):
+                    h = gru_step(xg_t, h, w_hh_t, b_hh)
+                    return h, h
+
+                h_T, ys = jax.lax.scan(step, h_init, jnp.swapaxes(xg, 0, 1))
+            else:
+
+                def step(h, inp):
+                    xg_t, m_t = inp
+                    h_new = gru_step(xg_t, h, w_hh_t, b_hh)
+                    h = jnp.where(m_t[:, None] > 0, h_new, h)
+                    return h, h * m_t[:, None]
+
+                h_T, ys = jax.lax.scan(
+                    step, h_init,
+                    (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(m, 0, 1)),
+                )
             return jnp.swapaxes(ys, 0, 1), h_T
 
-        fwd, h_fwd = run_direction("", x)
+        fwd, h_fwd = run_direction("", x, mask)
         if not self.bidirectional:
             return fwd, h_fwd
-        bwd, h_bwd = run_direction("_reverse", jnp.flip(x, axis=1))
+        bwd, h_bwd = run_direction(
+            "_reverse", jnp.flip(x, axis=1),
+            None if mask is None else jnp.flip(mask, axis=1),
+        )
         bwd = jnp.flip(bwd, axis=1)
         return jnp.concatenate([fwd, bwd], axis=-1), jnp.stack([h_fwd, h_bwd])
 
@@ -424,7 +457,27 @@ class CBHG(nn.Module):
     dropout_rate: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        lengths: Optional[jax.Array] = None,
+    ) -> jax.Array:
+        # ``lengths`` (B,) gives length-exact semantics on padded input:
+        # every stage re-zeroes pad frames (so convs see the zeros torch's
+        # SAME padding would supply at the true boundary) and the BiGRU
+        # masks its carries — output then equals running torch on each
+        # unpadded sequence (the reference generate paths run unpadded,
+        # e.g. tacotron.py:439-441, forward_tacotron.py:254-256).
+        if lengths is not None:
+            fmask = (jnp.arange(x.shape[1])[None, :] < lengths[:, None]).astype(
+                x.dtype
+            )[..., None]
+            remask = lambda v: v * fmask  # noqa: E731
+        else:
+            remask = lambda v: v  # noqa: E731
+
+        x = remask(x)
         residual = x
         seq_len = x.shape[1]
 
@@ -434,7 +487,7 @@ class CBHG(nn.Module):
             c = BatchNormConv(self.channels, k, name=f"conv1d_bank_{k - 1}")(
                 x, train=train
             )
-            conv_bank.append(c[:, :seq_len, :])
+            conv_bank.append(remask(c[:, :seq_len, :]))
         conv_bank = jnp.concatenate(conv_bank, axis=-1)
 
         # MaxPool1d(kernel=2, stride=1, padding=1) then trim to seq_len:
@@ -447,17 +500,20 @@ class CBHG(nn.Module):
             window_strides=(1, 1, 1),
             padding=((0, 0), (1, 0), (0, 0)),
         )
+        pooled = remask(pooled)
         if self.forward_variant:
             pooled = nn.Dropout(self.dropout_rate, deterministic=not train)(pooled)
 
         x = BatchNormConv(self.proj_channels[0], 3, name="conv_project1")(
             pooled, train=train
         )
+        x = remask(x)
         if self.forward_variant:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = BatchNormConv(
             self.proj_channels[1], 3, relu=False, name="conv_project2"
         )(x, train=train)
+        x = remask(x)
 
         x = x + residual
 
@@ -467,7 +523,9 @@ class CBHG(nn.Module):
             x = HighwayNetwork(self.channels, name=f"highways_{i}")(x)
 
         gru_hidden = self.channels if self.forward_variant else self.channels // 2
-        out, _ = GRU(gru_hidden, bidirectional=True, name="rnn")(x)
+        out, _ = GRU(gru_hidden, bidirectional=True, name="rnn")(
+            remask(x), lengths=lengths
+        )
         return out
 
 

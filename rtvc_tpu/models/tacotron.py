@@ -378,8 +378,20 @@ def decoder_step(
     return new_carry, mels, scores, stop
 
 
-def _postnet(variables: Dict, d: TacotronDims, mels: jax.Array, train: bool, rng):
-    """CBHG postnet + linear projection. ``mels`` is (B, n_mels, L)."""
+def _postnet(
+    variables: Dict,
+    d: TacotronDims,
+    mels: jax.Array,
+    train: bool,
+    rng,
+    lengths=None,
+):
+    """CBHG postnet + linear projection. ``mels`` is (B, n_mels, L).
+
+    ``lengths`` gives length-exact semantics on a padded buffer — the
+    reference generate runs the postnet on exactly the frames decoded
+    before the stop token fired (ref tacotron.py:436-441), so frames past
+    the stop point must not leak into valid ones through the CBHG BiGRU."""
     mods = _modules(d)
     rngs = {"dropout": rng} if rng is not None else None
     x = jnp.swapaxes(mels, 1, 2)  # (B, L, n_mels)
@@ -391,7 +403,10 @@ def _postnet(variables: Dict, d: TacotronDims, mels: jax.Array, train: bool, rng
         )
         new_stats["postnet"] = upd["batch_stats"]
     else:
-        post = _apply(mods, variables, "postnet", x, train=False, rngs=rngs)
+        post = _apply(
+            mods, variables, "postnet", x, train=False, rngs=rngs,
+            lengths=lengths,
+        )
     linear = _apply(mods, variables, "post_proj", post)  # (B, L, fft_bins)
     return linear, new_stats
 
@@ -511,10 +526,17 @@ def tacotron_generate(
     )
 
     linear = None
+    n_valid = i_final * r
     if compute_linear:
-        lin, _ = _postnet(variables, d, mel_buf, False, k_post)
+        # Length-exact postnet: the reference computes it over exactly the
+        # n_valid decoded frames (ref tacotron.py:436-441); mask so the
+        # undecoded tail of the static buffer can't bleed in.
+        lin, _ = _postnet(
+            variables, d, mel_buf, False, k_post,
+            lengths=jnp.full((B,), n_valid),
+        )
         linear = jnp.swapaxes(lin, 1, 2)
-    return mel_buf, linear, attn_buf, i_final * r
+    return mel_buf, linear, attn_buf, n_valid
 
 
 # ---------------------------------------------------------------------------
