@@ -76,10 +76,18 @@ def discretized_mix_logistic_loss(
 
 
 def sample_from_discretized_mix_logistic(
-    key: jax.Array, y: jax.Array, log_scale_min: Optional[float] = None
+    key: Optional[jax.Array],
+    y: jax.Array,
+    log_scale_min: Optional[float] = None,
+    uniforms: Optional[tuple] = None,
 ) -> jax.Array:
     """Sample in [-1, 1] from a logistic mixture; y is (B, C, T)
-    (ref: distribution.py:104-140)."""
+    (ref: distribution.py:104-140).
+
+    ``uniforms`` optionally injects the two uniform draws — (mixture-select
+    (B, T, nr_mix), logistic (B, T)), both already in (1e-5, 1-1e-5) — so
+    cross-framework parity tests can feed identical randomness to this and
+    the reference implementation."""
     if log_scale_min is None:
         log_scale_min = float(math.log(1e-14))
     assert y.shape[1] % 3 == 0
@@ -88,10 +96,13 @@ def sample_from_discretized_mix_logistic(
     y = jnp.transpose(y, (0, 2, 1))  # (B, T, C)
     logit_probs = y[:, :, :nr_mix]
 
-    k_mix, k_u = jax.random.split(key)
-    temp = jax.random.uniform(
-        k_mix, logit_probs.shape, minval=1e-5, maxval=1.0 - 1e-5
-    )
+    if uniforms is not None:
+        temp, u_inj = uniforms
+    else:
+        k_mix, k_u = jax.random.split(key)
+        temp = jax.random.uniform(
+            k_mix, logit_probs.shape, minval=1e-5, maxval=1.0 - 1e-5
+        )
     argmax = jnp.argmax(logit_probs - jnp.log(-jnp.log(temp)), axis=-1)
     one_hot = jax.nn.one_hot(argmax, nr_mix, dtype=y.dtype)
 
@@ -99,7 +110,10 @@ def sample_from_discretized_mix_logistic(
     log_scales = jnp.maximum(
         jnp.sum(y[:, :, 2 * nr_mix : 3 * nr_mix] * one_hot, axis=-1), log_scale_min
     )
-    u = jax.random.uniform(k_u, means.shape, minval=1e-5, maxval=1.0 - 1e-5)
+    if uniforms is not None:
+        u = u_inj
+    else:
+        u = jax.random.uniform(k_u, means.shape, minval=1e-5, maxval=1.0 - 1e-5)
     x = means + jnp.exp(log_scales) * (jnp.log(u) - jnp.log(1.0 - u))
     return jnp.clip(x, -1.0, 1.0)
 

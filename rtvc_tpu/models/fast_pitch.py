@@ -156,8 +156,16 @@ def fft_block(
     dropout: float,
     rng: Optional[jax.Array],
     train: bool,
+    exact_lengths: bool = False,
 ) -> jax.Array:
-    """Self-attention + conv feed-forward block (ref: fast_pitch.py:55-93)."""
+    """Self-attention + conv feed-forward block (ref: fast_pitch.py:55-93).
+
+    ``exact_lengths`` re-zeroes pad frames after each LayerNorm so the conv
+    feed-forward sees the zeros an unpadded run would have at the boundary
+    (the reference generate runs the postnet without padding,
+    ref fast_pitch.py:330-337); without it, LayerNorm's bias makes pad
+    frames non-zero and the k//2-reach convs bleed them into valid frames.
+    """
 
     def drop(key, h):
         if not train or dropout == 0.0 or key is None:
@@ -165,15 +173,24 @@ def fft_block(
         keep = jax.random.bernoulli(key, 1.0 - dropout, h.shape)
         return jnp.where(keep, h / (1.0 - dropout), 0.0)
 
+    if exact_lengths and key_padding_mask is not None:
+        valid = (~key_padding_mask)[..., None].astype(x.dtype)
+        remask = lambda v: v * valid  # noqa: E731
+    else:
+        remask = lambda v: v  # noqa: E731
+
     k1 = k2 = None
     if rng is not None:
         k1, k2 = jax.random.split(rng)
 
     attn = multihead_attention(p["self_attn"], x, n_heads, key_padding_mask)
-    x = layer_norm(p["norm1"], x + drop(k1, attn))
-    h = jax.nn.relu(_conv(p["conv1"], x, kernel))
+    x = remask(layer_norm(p["norm1"], x + drop(k1, attn)))
+    # remask between the convs too: conv1's window reaches back into valid
+    # frames, making pad frame L non-zero, which conv2 would then bleed
+    # back into frame L-1 — torch's boundary there is a zero pad.
+    h = remask(jax.nn.relu(_conv(p["conv1"], x, kernel)))
     h = _conv(p["conv2"], h, kernel)
-    x = layer_norm(p["norm2"], x + drop(k2, h))
+    x = remask(layer_norm(p["norm2"], x + drop(k2, h)))
     return x
 
 
@@ -187,6 +204,7 @@ def forward_transformer(
     dropout: float,
     rng: Optional[jax.Array],
     train: bool,
+    exact_lengths: bool = False,
 ) -> jax.Array:
     """PositionalEncoding + FFT stack + final norm (ref: fast_pitch.py:96-133)."""
     T = x.shape[1]
@@ -200,7 +218,7 @@ def forward_transformer(
         sub = jax.random.fold_in(rng, i) if rng is not None else None
         x = fft_block(
             p[f"layers_{i}"], x, n_heads, kernel, key_padding_mask, dropout,
-            sub, train,
+            sub, train, exact_lengths=exact_lengths,
         )
     return layer_norm(p["norm"], x)
 
@@ -271,6 +289,11 @@ def fastpitch_forward(
     h = LengthRegulator().apply({"params": {}}, h, durations, max_len)
 
     mel_pad_mask = jnp.arange(max_len)[None, :] >= mel_lens[:, None]
+    # The reference length-regulator zero-pads past each element's length
+    # (pad_sequence, common_layers.py:18); our gather-LR repeats the last
+    # step instead — zero those frames so the postnet convs see the same
+    # boundary values as the reference.
+    h = jnp.where(mel_pad_mask[..., None], 0.0, h)
     h = forward_transformer(
         p["postnet"], h, d.n_layers_dec, d.n_heads, d.conv_kernel,
         mel_pad_mask, d.dropout, k5, train,
@@ -318,9 +341,11 @@ def fastpitch_generate(
     if energy_function is not None:
         energy_hat = np.asarray(energy_function(energy_hat))
 
+    # Degenerate-duration guard with the reference's truncation semantics
+    # (ref fast_pitch.py:295-297: sum(dur_hat.long()) <= 0 → fill 2.0)
+    if np.trunc(dur_hat).sum() <= 0:
+        dur_hat = np.full_like(dur_hat, 2.0)
     durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
-    if durations.sum() <= 0:
-        durations[:] = 2
     mel_lens = durations.sum(axis=1)
     max_len = int(-(-int(mel_lens.max()) // 128) * 128)
 
@@ -343,14 +368,19 @@ def fastpitch_generate(
         h = h + _conv(p["pitch_proj"], jnp.swapaxes(pitch, 1, 2), 3) * d.pitch_strength
         h = h + _conv(p["energy_proj"], jnp.swapaxes(energy, 1, 2), 3) * d.energy_strength
         h = LengthRegulator().apply({"params": {}}, h, durations, max_len)
-        # Generation postnet runs unmasked (ref: fast_pitch.py:337)
+        # The reference generate runs the postnet on the UNPADDED sequence
+        # (ref fast_pitch.py:330-337); emulate exact-length semantics on our
+        # bucketed buffer: zero the pad frames (ref LR zero-pads; torch convs
+        # zero-pad at the true boundary) and mask them out of attention so
+        # valid frames compute identically to an unpadded run.
+        mel_pad_mask = jnp.arange(max_len)[None, :] >= mel_lens[:, None]
+        h = jnp.where(mel_pad_mask[..., None], 0.0, h)
         h = forward_transformer(
             p["postnet"], h, d.n_layers_dec, d.n_heads, d.conv_kernel,
-            None, d.dropout, None, False,
+            mel_pad_mask, d.dropout, None, False, exact_lengths=True,
         )
         m = _mm(h, p["lin"]["weight"].T) + p["lin"]["bias"]
-        mask = jnp.arange(max_len)[None, :] >= mel_lens[:, None]
-        m = jnp.where(mask[..., None], d.padding_value, m)
+        m = jnp.where(mel_pad_mask[..., None], d.padding_value, m)
         return jnp.swapaxes(m, 1, 2)
 
     mel = _synth(
@@ -458,5 +488,73 @@ def init_fast_pitch(key: jax.Array, d: FastPitchDims) -> Dict[str, Any]:
         "lin": lin_init(keys[7], d.n_mels, d.d_model),
         "pitch_proj": conv_init(keys[8], d.d_model, 1, 3),
         "energy_proj": conv_init(keys[9], d.d_model, 1, 3),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
+def import_torch_state(sd: dict, d: FastPitchDims) -> Dict[str, Any]:
+    """Reference FastPitch ``model_state`` → our variables tree
+    (names per ref: synthesizer/models/fast_pitch.py:166-240).
+
+    The reference FastPitch has no speaker conditioning (it is unwired in
+    the reference; SV2TTS speaker projections are our extension), so the
+    imported ``spk_proj`` layers are zero-initialised — with a zero speaker
+    embedding the model then computes exactly the reference function."""
+    import numpy as np
+
+    def arr(name):
+        return jnp.asarray(np.asarray(sd[name]), dtype=jnp.float32)
+
+    def lin(prefix, bias=True):
+        out = {"weight": arr(prefix + ".weight")}
+        if bias:
+            out["bias"] = arr(prefix + ".bias")
+        return out
+
+    def transformer(prefix, n_layers):
+        p: Dict[str, Any] = {
+            "pos_encoder": {"scale": arr(prefix + ".pos_encoder.scale")},
+            "norm": lin(prefix + ".norm"),
+        }
+        for i in range(n_layers):
+            lp = f"{prefix}.layers.{i}"
+            p[f"layers_{i}"] = {
+                "self_attn": {
+                    "in_proj_weight": arr(lp + ".self_attn.in_proj_weight"),
+                    "in_proj_bias": arr(lp + ".self_attn.in_proj_bias"),
+                    "out_proj": lin(lp + ".self_attn.out_proj"),
+                },
+                "conv1": lin(lp + ".conv1"),
+                "conv2": lin(lp + ".conv2"),
+                "norm1": lin(lp + ".norm1"),
+                "norm2": lin(lp + ".norm2"),
+            }
+        return p
+
+    def zero_spk(dm):
+        return {
+            "weight": jnp.zeros((dm, d.speaker_embedding_size)),
+            "bias": jnp.zeros((dm,)),
+        }
+
+    def series(prefix):
+        return {
+            "embedding": {"weight": arr(prefix + ".embedding.weight")},
+            "spk_proj": zero_spk(d.series_d_model),
+            "transformer": transformer(prefix + ".transformer", d.series_layers),
+            "lin": lin(prefix + ".lin"),
+        }
+
+    params: Dict[str, Any] = {
+        "dur_pred": series("dur_pred"),
+        "pitch_pred": series("pitch_pred"),
+        "energy_pred": series("energy_pred"),
+        "embedding": {"weight": arr("embedding.weight")},
+        "spk_proj": zero_spk(d.d_model),
+        "prenet": transformer("prenet", d.n_layers_enc),
+        "postnet": transformer("postnet", d.n_layers_dec),
+        "lin": lin("lin"),
+        "pitch_proj": lin("pitch_proj"),
+        "energy_proj": lin("energy_proj"),
     }
     return {"params": params, "batch_stats": {}}
