@@ -5,12 +5,17 @@ DATASETS_ROOT ?= datasets
 MODELS_DIR ?= saved_models
 RUN_ID ?= default
 
-.PHONY: test bench native selftest demo \
+.PHONY: test test-all bench native selftest demo \
         preprocess_encoder preprocess_synth_audio preprocess_synth_embeds \
         preprocess_synth_alignments preprocess_vocoder \
         train_encoder train_synthesizer train_forward train_vocoder
 
+# Quick gate (< ~3 min): everything except the slow-marked lifecycle/
+# learning/training suites. Full gate: make test-all.
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -x -q
 
 bench:

@@ -59,31 +59,63 @@ def main():
             use_pallas=use_pallas,
         )
 
+    use_pallas = True
     try:
         wav = run(0)  # warmup / compile
     except Exception:
         # Pallas unavailable on this backend — fall back to the XLA scan
+        use_pallas = False
         run = lambda i, _orig=run: _orig(i, use_pallas=False)  # noqa: E731
         wav = run(0)
     wave_len = len(wav)
 
+    # e2e wall-clock (tunnel-inclusive): one synchronous call per timing.
     times = []
     for i in range(1, 4):
         t0 = time.perf_counter()
         wav = run(i)  # wavernn_generate returns numpy → implies full sync
         times.append(time.perf_counter() - t0)
+    dt_e2e = float(np.median(times))
+    e2e_khz = wave_len / dt_e2e / 1000.0
 
-    dt = float(np.median(times))
-    khz = wave_len / dt / 1000.0
-    rtf_2205 = khz * 1000.0 / 22050.0
+    # Device-time metric: the axon relay costs ~27 ms per synchronous
+    # dispatch, which swings the e2e number with tunnel load
+    # (BENCHMARKS.md caveat). Pipeline N async dispatches of the single
+    # fused _generate_pipeline graph and transfer once — per-run time then
+    # reflects device execution, which is the stable cross-round signal.
+    from rtvc_tpu.models.wavernn import _FRAME_BUCKET, _generate_pipeline
+
+    bucket = -(-n_frames // _FRAME_BUCKET) * _FRAME_BUCKET
+    mels_dev = jnp.asarray(
+        np.pad(mel[None], ((0, 0), (0, 0), (0, bucket - n_frames)),
+               constant_values=-1.0),
+        jnp.float32,
+    )
+
+    def dispatch(i):
+        return _generate_pipeline(
+            bundle.variables, d, mels_dev, jax.random.PRNGKey(100 + i),
+            True, target, overlap, cfg.mu_law, True, jnp.float32, use_pallas,
+        )
+
+    np.asarray(dispatch(0))  # warmup this exact call signature
+    N = 8
+    t0 = time.perf_counter()
+    outs = [dispatch(i) for i in range(1, N + 1)]
+    np.asarray(outs[-1])  # one transfer drains the whole pipeline
+    dt_dev = (time.perf_counter() - t0) / N
+    dev_khz = wave_len / dt_dev / 1000.0
+    rtf_2205 = dev_khz * 1000.0 / 22050.0
 
     print(
         json.dumps(
             {
-                "metric": "wavernn_gen_rate_e2e",
-                "value": round(khz, 2),
+                "metric": "wavernn_gen_rate_device",
+                "value": round(dev_khz, 2),
                 "unit": "kHz",
                 "vs_baseline": round(rtf_2205, 2),
+                "e2e_khz": round(e2e_khz, 2),
+                "e2e_rtf_2205": round(e2e_khz * 1000.0 / 22050.0, 2),
             }
         )
     )

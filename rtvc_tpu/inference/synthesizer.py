@@ -228,17 +228,23 @@ class Synthesizer:
                 n_iters = (int(np.argmax(fired)) + 1 if fired.any()
                            else stops.shape[1])
                 return mel, None, attn, n_iters * r
-            except (ValueError, TypeError):
-                # Caller-input errors, not a backend failure — surface them.
-                raise
             except Exception:
-                _pallas_decoder_broken = True
+                # Could be a Pallas-backend failure (e.g. unsupported on
+                # this platform — a ValueError) OR the caller's bad input.
+                # Retry on the XLA path: a genuine input error raises again
+                # there; a backend failure succeeds and stickily disables
+                # the Pallas decoder.
                 logger.exception(
-                    "Pallas Tacotron decoder failed; falling back to the XLA "
-                    "while_loop path for this and all later calls (reset "
-                    "with set_decoder_backend())."
+                    "Pallas Tacotron decoder failed; retrying on the XLA "
+                    "while_loop path."
                 )
-                return _decode_xla(variables, chars, embeds, rng)
+                out = _decode_xla(variables, chars, embeds, rng)
+                _pallas_decoder_broken = True
+                logger.warning(
+                    "XLA path succeeded — disabling the Pallas decoder for "
+                    "later calls (reset with set_decoder_backend())."
+                )
+                return out
 
         self._decode_cache = (key, _decode)
         return _decode

@@ -152,24 +152,27 @@ def infer_waveform(
             np.asarray(mel, dtype=np.float32), key,
             use_pallas=use_pallas, **kwargs,
         )
-    except (ValueError, TypeError):
-        # Input/shape errors are the caller's bug, not a Pallas-backend
-        # failure — surface them instead of silently degrading the backend.
-        raise
     except Exception:
         if not use_pallas:
             raise
-        global _pallas_broken
-        _pallas_broken = True
+        # Could be a Pallas-backend failure (e.g. "Only interpret mode is
+        # supported on CPU backend", a ValueError) OR the caller's bad
+        # input. Retry on the XLA path: a genuine input error raises again
+        # there (surfaced to the caller, backend not degraded); a backend
+        # failure succeeds and stickily disables Pallas.
         logger.exception(
-            "Pallas WaveRNN generation failed; falling back to the XLA scan "
-            "path for this and all later calls (reset with "
-            "set_generation_options())."
+            "Pallas WaveRNN generation failed; retrying on the XLA scan path."
         )
         wav = wavernn_generate(
             _model.variables, _model.dims,
             np.asarray(mel, dtype=np.float32), key,
             use_pallas=False, **kwargs,
+        )
+        global _pallas_broken
+        _pallas_broken = True
+        logger.warning(
+            "XLA path succeeded — disabling the Pallas backend for later "
+            "calls (reset with set_generation_options())."
         )
     if progress_callback is not None:
         progress_callback(len(wav), len(wav), 1, 0.0)

@@ -12,3 +12,15 @@ $CXX $CXXFLAGS -shared src/wavernn_engine.cpp -o build/librtvc_wavernn.so
 $CXX $CXXFLAGS src/wavernn_engine.cpp src/vocoder_cli.cpp -o build/rtvc_vocoder
 
 echo "Built build/librtvc_wavernn.so and build/rtvc_vocoder"
+
+# Audio codec shim (decode flac/mp3/m4a/ogg/sph..., encode flac/mp3/ogg/wav)
+# over the system FFmpeg libraries; skipped gracefully if headers are absent.
+CC=${CC:-gcc}
+if echo '#include <libavformat/avformat.h>' | $CC -E - >/dev/null 2>&1; then
+    $CC -O2 -fPIC -Wall -shared src/audio_codec.c \
+        -lavformat -lavcodec -lavutil -lswresample \
+        -o build/librtvc_audio.so
+    echo "Built build/librtvc_audio.so"
+else
+    echo "FFmpeg headers not found — skipping librtvc_audio.so"
+fi

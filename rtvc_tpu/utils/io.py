@@ -2,10 +2,11 @@
 
 The reference loads with librosa/audioread (any backend) and writes with
 scipy/soundfile (ref: synthesizer/audio.py:10-19, vocoder/audio.py:19-24).
-Here: WAV via scipy (all integer/float PCM subtypes) and mp3 via the system
-libmpg123 (rtvc_tpu.utils.mpeg), with resampling on load; other compressed
-formats (flac/ogg) are gated — no decoder ships in this image — and raise a
-clear error listing alternatives.
+Here: WAV via scipy (all integer/float PCM subtypes), mp3 via the system
+libmpg123 (rtvc_tpu.utils.mpeg), and everything else (flac — LibriSpeech,
+m4a — VoxCeleb2, ogg/opus, NIST .sph — TED-LIUM, ...) via the native FFmpeg
+shim (rtvc_tpu.utils.libav), with resampling on load. If the shim is
+unavailable, compressed formats raise a clear error listing alternatives.
 """
 from __future__ import annotations
 
@@ -20,7 +21,8 @@ from rtvc_tpu.ops.resample import resample
 PathLike = Union[str, Path]
 
 _MPEG = {".mp3", ".mp2"}
-_UNSUPPORTED = {".flac", ".ogg", ".m4a", ".aac", ".opus", ".wma"}
+_COMPRESSED = {".flac", ".ogg", ".m4a", ".aac", ".opus", ".wma", ".sph",
+               ".webm", ".mp4", ".mka"}
 
 
 class UnsupportedAudioFormat(RuntimeError):
@@ -52,20 +54,29 @@ def load_wav(
     path = Path(path)
     suffix = path.suffix.lower()
     if suffix in _MPEG:
-        from rtvc_tpu.utils import mpeg
+        from rtvc_tpu.utils import libav, mpeg
 
-        if not mpeg.mpeg_supported():
+        if mpeg.mpeg_supported():
+            wav, sr = mpeg.decode_mpeg(path)
+        elif libav.libav_supported():
+            wav, sr = libav.decode_audio(path)
+        else:
             raise UnsupportedAudioFormat(
-                f"{suffix} needs libmpg123, which was not found on this "
-                f"system. Convert {path.name} to WAV first."
+                f"{suffix} needs libmpg123 or FFmpeg libraries, neither of "
+                f"which was found on this system. Convert {path.name} to WAV "
+                f"first."
             )
-        wav, sr = mpeg.decode_mpeg(path)
-    elif suffix in _UNSUPPORTED:
-        raise UnsupportedAudioFormat(
-            f"No decoder for {suffix} is available in this environment. "
-            f"Convert {path.name} to WAV first (e.g. with ffmpeg on another "
-            f"machine), or pass a numpy waveform directly."
-        )
+    elif suffix in _COMPRESSED:
+        from rtvc_tpu.utils import libav
+
+        if not libav.libav_supported():
+            raise UnsupportedAudioFormat(
+                f"No decoder for {suffix} is available in this environment "
+                f"(the native FFmpeg shim did not build). Convert "
+                f"{path.name} to WAV first, or pass a numpy waveform "
+                f"directly."
+            )
+        wav, sr = libav.decode_audio(path)
     else:
         sr, data = wavfile.read(str(path))
         wav = _to_float32(np.asarray(data))
@@ -87,3 +98,22 @@ def save_wav(wav: np.ndarray, path: PathLike, sample_rate: int) -> None:
 def save_wav_float(wav: np.ndarray, path: PathLike, sample_rate: int) -> None:
     """Write float32 PCM without rescaling (ref: synthesizer/audio.py:18-19)."""
     wavfile.write(str(path), sample_rate, np.asarray(wav, dtype=np.float32))
+
+
+def save_audio(wav: np.ndarray, path: PathLike, sample_rate: int) -> None:
+    """Write in the format implied by the extension: WAV in-process, other
+    formats (.flac/.mp3/.ogg) through the native FFmpeg shim (used by the
+    dataset adapters that emit flac, e.g. scripts/commonvoice_transcript.py;
+    ref converts via an ffmpeg subprocess)."""
+    path = Path(path)
+    if path.suffix.lower() in ("", ".wav"):
+        save_wav_float(wav, path, sample_rate)
+        return
+    from rtvc_tpu.utils import libav
+
+    if not libav.libav_supported():
+        raise UnsupportedAudioFormat(
+            f"No encoder for {path.suffix} in this environment — write .wav "
+            f"instead, or build rtvc_tpu/native/build.sh"
+        )
+    libav.encode_audio(path, wav, sample_rate)

@@ -18,6 +18,15 @@ import jax  # noqa: E402
 # enough — override through the live config as well.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: repeat test runs skip XLA compilation of
+# unchanged graphs (~35% off compile-heavy tests). NB: do NOT also enable
+# jax_persistent_cache_enable_xla_caches here — the CPU AOT cache embeds
+# machine features and falls back with SIGILL-risk warnings when they drift.
+from rtvc_tpu.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.dirname(__file__), "..",
+                                     ".jax_test_cache"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,4 +1,5 @@
-"""FastPitch tests: torch MHA/FFT-block oracles + full model shapes/generate."""
+"""FastPitch tests: torch-API MHA oracle, genuine-reference FFT block, full
+model shapes/generate (full-model parity: tests/ref_oracle/test_ref_fast_pitch.py)."""
 import numpy as np
 import torch
 
@@ -46,37 +47,25 @@ class TestMHA:
 
 
 class TestFFTBlock:
-    def test_matches_torch_replica(self):
-        """Oracle: the reference FFTBlock structure (ref: fast_pitch.py:55-93),
+    def test_matches_genuine_reference_fft_block(self):
+        """Parity vs the REAL reference FFTBlock (fast_pitch.py:55-93),
         eval mode."""
+        from tests.ref_oracle import ref_module, state_numpy
+
+        fp_mod = ref_module("synthesizer.models.fast_pitch")
         torch.manual_seed(1)
         E, H, K, F_, B, T = 8, 2, 3, 16, 2, 6
-
-        class _TorchFFT(torch.nn.Module):
-            def __init__(self):
-                super().__init__()
-                self.self_attn = torch.nn.MultiheadAttention(E, H, dropout=0.0)
-                self.conv1 = torch.nn.Conv1d(E, F_, K, padding=K // 2)
-                self.conv2 = torch.nn.Conv1d(F_, E, K, padding=K // 2)
-                self.norm1 = torch.nn.LayerNorm(E)
-                self.norm2 = torch.nn.LayerNorm(E)
-
-            def forward(self, src, pad_mask):
-                src2 = self.self_attn(src, src, src, key_padding_mask=pad_mask)[0]
-                src = self.norm1(src + src2)
-                s = src.transpose(0, 1).transpose(1, 2)
-                s2 = self.conv2(torch.relu(self.conv1(s)))
-                src = (s + s2).transpose(1, 2).transpose(0, 1)
-                return self.norm2(src)
-
-        ref = _TorchFFT().eval()
+        ref = fp_mod.FFTBlock(
+            d_model=E, nhead=H, conv1_kernel=K, conv2_kernel=K, d_fft=F_,
+            dropout=0.0,
+        ).eval()
         x = torch.randn(T, B, E)
         pad_mask = torch.zeros(B, T, dtype=torch.bool)
         pad_mask[0, 4:] = True
         with torch.no_grad():
-            expected = ref(x, pad_mask).numpy()
+            expected = ref(x, src_pad_mask=pad_mask).numpy()
 
-        sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+        sd = state_numpy(ref)
         p = {
             "self_attn": {
                 "in_proj_weight": jnp.asarray(sd["self_attn.in_proj_weight"]),

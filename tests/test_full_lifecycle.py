@@ -18,6 +18,8 @@ from rtvc_tpu.config.encoder import EncoderDataParams, EncoderModelParams
 from rtvc_tpu.config.synthesizer import TacotronParams
 from rtvc_tpu.config.vocoder import WaveRNNParams
 
+pytestmark = pytest.mark.slow  # excluded from the quick gate (make test)
+
 
 @pytest.fixture(scope="module")
 def corpus(tmp_path_factory):

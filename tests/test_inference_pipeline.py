@@ -13,6 +13,8 @@ from rtvc_tpu.inference import synthesizer as syn_inf
 from rtvc_tpu.inference import vocoder as voc_inf
 from rtvc_tpu.models import factories
 
+pytestmark = pytest.mark.slow  # compile-heavy; full gate only
+
 
 @pytest.fixture(scope="module")
 def tiny_models():

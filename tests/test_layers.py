@@ -127,85 +127,80 @@ class TestBatchNorm:
         )
 
 
-class _TorchHighway(torch.nn.Module):
-    def __init__(self, size):
-        super().__init__()
-        self.W1 = torch.nn.Linear(size, size)
-        self.W2 = torch.nn.Linear(size, size)
-
-    def forward(self, x):
-        g = torch.sigmoid(self.W2(x))
-        return g * torch.relu(self.W1(x)) + (1.0 - g) * x
-
-
-class _TorchBNConv(torch.nn.Module):
-    def __init__(self, cin, cout, k, relu=True):
-        super().__init__()
-        self.conv = torch.nn.Conv1d(cin, cout, k, stride=1, padding=k // 2, bias=False)
-        self.bnorm = torch.nn.BatchNorm1d(cout)
-        self.relu = relu
-
-    def forward(self, x):
-        x = self.conv(x)
-        if self.relu:
-            x = torch.relu(x)
-        return self.bnorm(x)
-
-
-class _TorchCBHG(torch.nn.Module):
-    """Oracle mirroring the reference Tacotron CBHG structure
-    (ref: synthesizer/models/tacotron.py:63-141)."""
-
-    def __init__(self, K, in_channels, channels, proj_channels, num_highways):
-        super().__init__()
-        self.conv1d_bank = torch.nn.ModuleList(
-            [_TorchBNConv(in_channels, channels, k) for k in range(1, K + 1)]
+class TestGRULengths:
+    def test_lengths_match_torch_pack_padded(self):
+        """Our length-exact GRU (lengths=) vs torch on each unpadded
+        sequence — the backward direction must start at each true last
+        frame."""
+        torch.manual_seed(6)
+        I, H, B, T = 6, 8, 3, 10
+        ref = torch.nn.GRU(I, H, batch_first=True, bidirectional=True)
+        x = torch.randn(B, T, I)
+        lens = [10, 7, 4]
+        params = {k: jnp.asarray(v.numpy()) for k, v in ref.state_dict().items()}
+        ours, _ = GRU(H, bidirectional=True).apply(
+            {"params": params}, jnp.asarray(x.numpy()),
+            lengths=jnp.asarray(lens),
         )
-        self.maxpool = torch.nn.MaxPool1d(2, stride=1, padding=1)
-        self.conv_project1 = _TorchBNConv(K * channels, proj_channels[0], 3)
-        self.conv_project2 = _TorchBNConv(proj_channels[0], proj_channels[1], 3, relu=False)
-        self.highway_mismatch = proj_channels[-1] != channels
-        if self.highway_mismatch:
-            self.pre_highway = torch.nn.Linear(proj_channels[-1], channels, bias=False)
-        self.highways = torch.nn.ModuleList(
-            [_TorchHighway(channels) for _ in range(num_highways)]
-        )
-        self.rnn = torch.nn.GRU(channels, channels // 2, batch_first=True, bidirectional=True)
-
-    def forward(self, x):
-        residual = x
-        seq_len = x.size(-1)
-        conv_bank = torch.cat([c(x)[:, :, :seq_len] for c in self.conv1d_bank], dim=1)
-        x = self.maxpool(conv_bank)[:, :, :seq_len]
-        x = self.conv_project1(x)
-        x = self.conv_project2(x)
-        x = x + residual
-        x = x.transpose(1, 2)
-        if self.highway_mismatch:
-            x = self.pre_highway(x)
-        for h in self.highways:
-            x = h(x)
-        x, _ = self.rnn(x)
-        return x
+        for b, n in enumerate(lens):
+            with torch.no_grad():
+                exp, _ = ref(x[b : b + 1, :n])
+            np.testing.assert_allclose(
+                np.asarray(ours)[b, :n], exp.numpy()[0], atol=1e-5
+            )
+            # pad outputs are zeroed
+            np.testing.assert_allclose(np.asarray(ours)[b, n:], 0.0, atol=0)
 
 
 class TestCBHG:
-    def test_matches_torch_reference_structure(self):
+    def test_matches_genuine_reference_tacotron_cbhg(self):
+        """Parity vs the REAL reference CBHG (synthesizer/models/
+        tacotron.py:63-141), not a replica."""
+        from tests.ref_oracle import ref_module, state_numpy
+
+        taco_mod = ref_module("synthesizer.models.tacotron")
         torch.manual_seed(5)
         K, C, B, T = 4, 8, 2, 12
-        ref = _TorchCBHG(K, C, C, [C, C], 2).eval()
+        ref = taco_mod.CBHG(K, C, C, [C, C], 2).eval()
         x = torch.randn(B, C, T)
         with torch.no_grad():
             expected = ref(x).numpy()
 
-        sd = ref.state_dict()
         from rtvc_tpu.models.tacotron import _import_cbhg
 
-        imported = _import_cbhg(
-            {k: v.numpy() for k, v in sd.items()}, "", K, 2
-        )
+        imported = _import_cbhg(state_numpy(ref), "", K, 2)
         ours = CBHG(
             K=K, in_channels=C, channels=C, proj_channels=(C, C), num_highways=2
+        ).apply(
+            {"params": imported["params"], "batch_stats": imported["batch_stats"]},
+            jnp.asarray(x.numpy().transpose(0, 2, 1)),
+            train=False,
+        )
+        np.testing.assert_allclose(np.asarray(ours), expected, atol=1e-4)
+
+    def test_matches_genuine_reference_common_layers_cbhg(self):
+        """Parity vs the REAL common_layers CBHG variant used by
+        ForwardTacotron (common_layers.py:55-119): BiGRU hidden = channels,
+        always pre_highway, dropout (off in eval)."""
+        from tests.ref_oracle import ref_module, state_numpy
+
+        cl_mod = ref_module("synthesizer.models.common_layers")
+        torch.manual_seed(7)
+        K, Cin, C, B, T = 3, 8, 10, 2, 12
+        ref = cl_mod.CBHG(
+            K=K, in_channels=Cin, channels=C, proj_channels=[C, Cin],
+            num_highways=2, dropout=0.0,
+        ).eval()
+        x = torch.randn(B, Cin, T)
+        with torch.no_grad():
+            expected = ref(x).numpy()
+
+        from rtvc_tpu.models.tacotron import _import_cbhg
+
+        imported = _import_cbhg(state_numpy(ref), "", K, 2)
+        ours = CBHG(
+            K=K, in_channels=Cin, channels=C, proj_channels=(C, Cin),
+            num_highways=2, forward_variant=True, dropout_rate=0.0,
         ).apply(
             {"params": imported["params"], "batch_stats": imported["batch_stats"]},
             jnp.asarray(x.numpy().transpose(0, 2, 1)),

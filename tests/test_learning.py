@@ -13,6 +13,8 @@ from rtvc_tpu.config.vocoder import WaveRNNParams
 from rtvc_tpu.models import factories
 from rtvc_tpu.train.trainer import make_optimizer, set_lr
 
+pytestmark = pytest.mark.slow  # excluded from the quick gate (make test)
+
 
 def _overfit(step_fn, params, stats, opt_state, batch, rng, n=40):
     losses = []

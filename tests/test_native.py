@@ -20,6 +20,8 @@ from rtvc_tpu.models.wavernn import (
 )
 from rtvc_tpu.native.convert import export_wavernn
 
+pytestmark = pytest.mark.slow  # compile-heavy; full gate only
+
 NATIVE_DIR = Path(__file__).resolve().parents[1] / "rtvc_tpu" / "native"
 LIB = NATIVE_DIR / "build" / "librtvc_wavernn.so"
 

@@ -1,6 +1,7 @@
 """Pallas kernel tests (interpret mode on the CPU platform; the same code
 compiles with Mosaic on real TPU)."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -91,6 +92,7 @@ class TestWaveRNNKernel:
     def test_geneing_mol_matches_xla(self):
         self._parity("geneing-wavernn", "MOL")
 
+    @pytest.mark.slow
     def test_tacotron_decoder_matches_xla(self):
         """Interpret-mode parity of the fused decoder against a manual
         decoder_step loop (dropout off → deterministic). Also checks the

@@ -29,6 +29,7 @@ class TestMeshHelpers:
 
 
 class TestDataParallelStep:
+    @pytest.mark.slow  # ~100 s compile on the 1-core box
     def test_tacotron_dp_matches_single_device(self, mesh8):
         """One DP step over 8 devices == the same step on one device."""
         import optax

@@ -26,6 +26,8 @@ from rtvc_tpu.train.trainer import (
     train_vocoder,
 )
 
+pytestmark = pytest.mark.slow  # excluded from the quick gate (make test)
+
 
 # ---------------------------------------------------------------------------
 # Fixtures: synthetic datasets on disk
