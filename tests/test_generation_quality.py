@@ -1,0 +1,117 @@
+"""Fold-with-overlap quality validation (the TPU-tuned small windows must
+not corrupt audio): overfit a tiny WaveRNN on a perfectly predictable
+waveform, then compare batched (fold + crossfade) against unbatched greedy
+decodes across window configs with rtvc_tpu.utils.genquality."""
+import numpy as np
+import optax
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtvc_tpu.ops.audio import float_2_label, label_2_float
+from rtvc_tpu.train.steps import make_wavernn_train_step
+from rtvc_tpu.utils.genquality import fold_fidelity
+
+pytestmark = pytest.mark.slow  # trains a model (~1 min on the CI box)
+
+BITS = 6
+HOP = 20
+
+
+def _make_overfit_bundle():
+    """Train a small BITS-mode fatchord WaveRNN to reproduce a sine whose
+    period divides the hop — a trivially predictable AR target."""
+    from rtvc_tpu.models.wavernn import VOC_FATCHORD, WaveRNNDims, init_wavernn
+
+    d = WaveRNNDims(
+        variant=VOC_FATCHORD, mode="BITS", rnn_dims=32, fc_dims=32,
+        bits=BITS, pad=2, upsample_factors=(2, 2, 5), feat_dims=10,
+        compute_dims=12, res_out_dims=16, res_blocks=1, hop_length=HOP,
+        sample_rate=1000,
+    )
+    variables0 = init_wavernn(jax.random.PRNGKey(0), d)
+
+    # Sine whose period does NOT divide the hop, so frames carry distinct
+    # phases — and PHASE-INFORMATIVE conditioning (strided waveform samples
+    # per frame, like real mels encode the signal): fold windows can then
+    # lock onto the absolute phase during their overlap warmup, which is
+    # exactly how batched generation works with real mels.
+    period = 13.0
+    frames = 40
+    pad_samples = d.pad * HOP
+
+    def make_wave(n, start=0):
+        t = np.arange(start, start + n)
+        return (0.6 * np.sin(2 * np.pi * t / period)).astype(np.float32)
+
+    def make_cond(n_frames):
+        """(feat_dims, n_frames + 2·pad) conditioning: strided samples of
+        the waveform within each (padded) frame."""
+        cond = np.zeros((d.feat_dims, n_frames + 2 * d.pad), np.float32)
+        offs = (np.arange(d.feat_dims) * HOP) // d.feat_dims
+        for f in range(n_frames + 2 * d.pad):
+            start = f * HOP - pad_samples
+            cond[:, f] = make_wave(HOP, start=start)[offs % HOP][: d.feat_dims]
+        return cond
+
+    T = frames * HOP  # training sequence
+    wave = make_wave(T + 1)
+    labels = np.asarray(float_2_label(jnp.asarray(wave), BITS)).astype(np.int32)
+    x = np.asarray(label_2_float(jnp.asarray(labels[:-1].astype(np.float32)),
+                                 BITS))
+    y = labels[1:]
+
+    mel = make_cond(frames)
+    batch = {
+        "x": jnp.asarray(x[None]),
+        "y": jnp.asarray(y[None]),
+        "y_float": jnp.asarray(wave[1:][None]),
+        "mels": jnp.asarray(mel[None]),
+    }
+
+    optimizer = optax.adam(4e-3)
+    step = make_wavernn_train_step(d, optimizer)
+    params, stats = variables0["params"], variables0["batch_stats"]
+    opt_state = optimizer.init(params)
+    loss = None
+    for _ in range(350):
+        params, stats, opt_state, out = step(params, stats, opt_state, batch)
+        loss = float(out["loss"])
+    assert loss is not None and loss < 0.15, f"did not overfit: loss={loss}"
+    variables = {"params": params, "batch_stats": stats}
+
+    # long conditioning for generation, phase-consistent with absolute time
+    gen_frames = 130  # ≈ 2600 samples → several folds at the small windows
+    gen_mel = make_cond(gen_frames)[:, d.pad: gen_frames + d.pad]
+    return variables, d, gen_mel
+
+
+@pytest.fixture(scope="module")
+def overfit():
+    return _make_overfit_bundle()
+
+
+def test_batched_decode_preserves_audio_across_window_configs(overfit):
+    variables, d, gen_mel = overfit
+    # production windows scale by hop ratio (prod hop 200 → test hop 20):
+    # (6000,1000) → (600,100); (3000,1500) → (300,150); (1000,400) → (100,40)
+    configs = [(600, 100), (300, 150), (100, 40)]
+    rows = fold_fidelity(variables, d, gen_mel, configs)
+    for row in rows:
+        # phase-aligned residual small (faithful signal in every fold) and
+        # no clicks at the joins (crossfades as smooth as the interior)
+        assert row["aligned_rms"] < 0.10, row
+        assert row["join_click_ratio"] < 1.05, row
+    big, small = rows[0], rows[-1]
+    assert small["num_folds"] > big["num_folds"]  # the sweep is real
+
+
+def test_fidelity_metric_flags_broken_crossfade(overfit):
+    """Sanity of the metric itself: a near-zero overlap (4 samples — almost
+    no warmup or crossfade) must register elevated join discontinuity."""
+    variables, d, gen_mel = overfit
+    rows = fold_fidelity(variables, d, gen_mel, [(100, 40), (136, 4)])
+    good, bad = rows
+    assert bad["join_click_ratio"] > 1.1, rows
+    assert bad["join_click_ratio"] > good["join_click_ratio"] + 0.1, rows
