@@ -64,10 +64,14 @@ def detect_speech_windows(
 
     floor_db = np.percentile(energy_db, floor_percentile)
     peak_db = np.percentile(energy_db, 95)
-    # Speech sits above the noise floor by the margin — but when the clip has
-    # no silence at all (floor ≈ peak), fall back to "within 6 dB of peak",
-    # and never require more than digital silence (−70 dBFS).
-    threshold = max(min(floor_db + energy_margin_db, peak_db - 6.0), -70.0)
+    # Speech sits above the noise floor by the margin. The upper clamp
+    # matters for clips with little or no silence (e.g. re-trimming an
+    # already-trimmed clip, where the "floor" percentile lands on quiet
+    # speech): speech spans ~30 dB of dynamics, so never threshold above
+    # peak−30 dB — the old peak−6 clamp made trimming non-idempotent by
+    # eating quiet speech on the second pass. Never require more than
+    # digital silence (−70 dBFS) either.
+    threshold = max(min(floor_db + energy_margin_db, peak_db - 30.0), -70.0)
     return energy_db > threshold
 
 

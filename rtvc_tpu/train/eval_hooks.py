@@ -73,8 +73,9 @@ def make_tacotron_eval_hook(out_dir: Path, texts=None, embeds=None,
 
 
 def make_encoder_projection_hook(out_dir: Path, speakers_per_batch: int):
-    """Returns hook(step, embeds): PCA projection of the batch embedding space
-    colored by speaker."""
+    """Returns hook(step, embeds): neighbor-embedding (t-SNE) projection of
+    the batch embedding space colored by speaker — the UMAP role in the
+    reference dashboards (ref: encoder/visualizations.py:520-551)."""
     out_dir = Path(out_dir)
 
     def hook(step: int, embeds: np.ndarray):
@@ -82,12 +83,13 @@ def make_encoder_projection_hook(out_dir: Path, speakers_per_batch: int):
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        from sklearn.decomposition import PCA
+
+        from rtvc_tpu.utils.projection import project_2d
 
         embeds = np.asarray(embeds)
         n = embeds.shape[0]
         ups = n // speakers_per_batch
-        pts = PCA(n_components=2).fit_transform(embeds)
+        pts = project_2d(embeds)
         out_dir.mkdir(parents=True, exist_ok=True)
         fig, ax = plt.subplots(figsize=(5, 5))
         for s in range(speakers_per_batch):
