@@ -781,10 +781,8 @@ def wavernn_generate(
             constant_values=-1.0,
         )
 
-    # The Pallas backend covers categorical + MOL heads (not geneing's beta)
-    use_pallas = use_pallas and not (
-        d.mode == MODE_RAW and d.variant == VOC_GENEING
-    )
+    # The Pallas backend covers all heads: categorical, MOL, and (round 2)
+    # geneing's 2-parameter beta via in-kernel Marsaglia-Tsang gamma draws.
     output = _generate_pipeline(
         variables, d, mels, key, batched, target, overlap, mu_law,
         apply_preemphasis, compute_dtype, use_pallas,
@@ -818,9 +816,6 @@ def wavernn_generate_batch(
     float64 waveforms (each trimmed to its own length, with fade-out).
     """
     mu_law = mu_law if d.mode == MODE_RAW else False
-    use_pallas = use_pallas and not (
-        d.mode == MODE_RAW and d.variant == VOC_GENEING
-    )
 
     N = len(mels_list)
     frames = [m.shape[-1] for m in mels_list]

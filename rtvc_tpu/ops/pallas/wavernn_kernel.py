@@ -200,7 +200,62 @@ def _make_kernel(d: WaveRNNDims, B: int, T: int, n_tiles: int, argmax: bool,
                 return jnp.clip(u, lo, hi)
 
             col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-            if d.mode == "MOL":
+            if d.mode == "RAW" and d.variant == VOC_GENEING:
+                # 2-parameter beta head (ref geneing_version.py:95-96,
+                # distribution.py:7-20): columns [log α | log β]. In-kernel
+                # Beta(α, β) = Gα/(Gα+Gβ) with Marsaglia-Tsang gamma draws —
+                # Box-Muller normals, squeeze step, acceptance test unrolled
+                # ×2 (accept rate ≥ 0.95 ⇒ double-reject < 0.25%, fallback
+                # d_ = mode-ish), α<1 boosted via G(α) = G(α+1)·U^(1/α).
+                a_log = jnp.sum(jnp.where(col == 0, logits, 0.0), axis=1)
+                b_log = jnp.sum(jnp.where(col == 1, logits, 0.0), axis=1)
+                alpha = jnp.exp(jnp.clip(a_log, -30.0, 30.0))
+                beta = jnp.exp(jnp.clip(b_log, -30.0, 30.0))
+                if argmax:
+                    # greedy decode = distribution mode (mean when the mode
+                    # is undefined), matching _sample_step's XLA semantics
+                    mode_ok = (alpha > 1.0) & (beta > 1.0)
+                    m = jnp.where(
+                        mode_ok,
+                        (alpha - 1.0) / (alpha + beta - 2.0),
+                        alpha / (alpha + beta),
+                    )
+                    sample = 2.0 * m - 1.0
+                else:
+                    U = rand_uniform((logits.shape[0], 16), 1e-7, 1.0 - 1e-7)
+
+                    def gamma_draw(a, u):
+                        ab = jnp.where(a < 1.0, a + 1.0, a)
+                        d_ = ab - 1.0 / 3.0
+                        c_ = 1.0 / jnp.sqrt(9.0 * d_)
+
+                        def one_try(un1, un2, uacc):
+                            x = jnp.sqrt(-2.0 * jnp.log(un1)) * jnp.cos(
+                                2.0 * np.pi * un2
+                            )
+                            v = (1.0 + c_ * x) ** 3
+                            ok = (v > 0.0) & (
+                                jnp.log(uacc)
+                                < 0.5 * x * x + d_ - d_ * v
+                                + d_ * jnp.log(jnp.maximum(v, 1e-30))
+                            )
+                            return ok, d_ * v
+
+                        ok1, g1 = one_try(u[0], u[1], u[2])
+                        ok2, g2 = one_try(u[3], u[4], u[5])
+                        g = jnp.where(ok1, g1, jnp.where(ok2, g2, d_))
+                        g = jnp.maximum(g, 1e-12)
+                        return jnp.where(
+                            a < 1.0,
+                            g * jnp.power(u[6], 1.0 / jnp.maximum(a, 1e-6)),
+                            g,
+                        )
+
+                    ga = gamma_draw(alpha, [U[:, i] for i in range(7)])
+                    gb = gamma_draw(beta, [U[:, 7 + i] for i in range(7)])
+                    sample = 2.0 * ga / (ga + gb) - 1.0
+                sample = jnp.clip(sample, -1.0, 1.0)
+            elif d.mode == "MOL":
                 # Discretized-mix-of-logistics head: the C columns are
                 # [logit_probs | means | log_scales] × nr_mix. Component by
                 # (Gumbel) argmax, then inverse-CDF logistic draw — same
@@ -266,10 +321,6 @@ def generate_core_pallas(
     Drop-in for ``generate_core`` on RAW/BITS categorical heads.
     """
     from jax.experimental import pallas as pl
-
-    assert not (d.mode == "RAW" and d.variant == VOC_GENEING), (
-        "the beta head uses the XLA path"
-    )
 
     # compute_dtype = resident weights; stream_dtype = per-step conditioning
     # blocks (streamed HBM→VMEM; bf16 streams halve the VMEM footprint that

@@ -89,6 +89,76 @@ class TestWaveRNNKernel:
     def test_runtimeracer_mol_matches_xla(self):
         self._parity("runtimeracer-wavernn", "MOL")
 
+    def test_geneing_beta_argmax_matches_xla(self):
+        """geneing RAW (2-parameter beta head, round 2 in-kernel): greedy
+        decode = distribution mode, must match the XLA path."""
+        self._parity("geneing-wavernn", "RAW")
+
+    def test_geneing_beta_stochastic_sampling_in_range(self):
+        # pltpu.prng_* has no CPU-interpret lowering — TPU hardware only.
+        if jax.devices()[0].platform != "tpu":
+            pytest.skip("pltpu.prng_seed requires real TPU hardware")
+        from rtvc_tpu.models.wavernn import init_wavernn, upsample_forward
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        d = self._dims("geneing-wavernn", "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(2)
+        mel = jnp.asarray(rng.uniform(-1, 1, (2, d.feat_dims, 12)), jnp.float32)
+        mels = jnp.pad(mel, ((0, 0), (0, 0), (d.pad, d.pad)))
+        mu, aux, _ = upsample_forward(
+            variables["params"]["upsample"],
+            variables["batch_stats"]["upsample"], d, mels, train=False,
+        )
+        got = np.asarray(
+            generate_core_pallas(variables, d, mu, aux, jax.random.PRNGKey(3))
+        )
+        assert got.shape == (2, mu.shape[1])
+        assert np.isfinite(got).all()
+        assert (got >= -1.0).all() and (got <= 1.0).all()
+        assert got.std() > 1e-4  # beta draws actually vary
+
+    def test_marsaglia_tsang_math_matches_scipy_beta(self):
+        """Distribution-correctness of the in-kernel beta sampler: the exact
+        arithmetic (Box-Muller → squeeze → ×2 accept → α<1 boost →
+        Gα/(Gα+Gβ)) mirrored in numpy must match scipy's Beta across
+        parameter regimes (mean/var + KS)."""
+        from scipy import stats
+
+        def gamma_mt(a, U):  # U: (n, 7) uniforms — same formula as the kernel
+            ab = np.where(a < 1.0, a + 1.0, a)
+            d_ = ab - 1.0 / 3.0
+            c_ = 1.0 / np.sqrt(9.0 * d_)
+
+            def one(u1, u2, uacc):
+                x = np.sqrt(-2.0 * np.log(u1)) * np.cos(2 * np.pi * u2)
+                v = (1.0 + c_ * x) ** 3
+                ok = (v > 0.0) & (
+                    np.log(uacc)
+                    < 0.5 * x * x + d_ - d_ * v + d_ * np.log(np.maximum(v, 1e-30))
+                )
+                return ok, d_ * v
+
+            ok1, g1 = one(U[:, 0], U[:, 1], U[:, 2])
+            ok2, g2 = one(U[:, 3], U[:, 4], U[:, 5])
+            g = np.where(ok1, g1, np.where(ok2, g2, d_))
+            g = np.maximum(g, 1e-12)
+            return np.where(a < 1.0, g * U[:, 6] ** (1.0 / a), g)
+
+        rng = np.random.default_rng(0)
+        n = 40000
+        for alpha, beta in ((2.0, 5.0), (0.5, 0.5), (4.0, 1.5), (0.7, 3.0)):
+            a = np.full(n, alpha)
+            b = np.full(n, beta)
+            ga = gamma_mt(a, rng.uniform(1e-7, 1 - 1e-7, (n, 7)))
+            gb = gamma_mt(b, rng.uniform(1e-7, 1 - 1e-7, (n, 7)))
+            x = ga / (ga + gb)
+            ref = stats.beta(alpha, beta)
+            assert abs(x.mean() - ref.mean()) < 0.01, (alpha, beta, x.mean())
+            assert abs(x.var() - ref.var()) < 0.01, (alpha, beta, x.var())
+            ks = stats.kstest(x, ref.cdf).statistic
+            assert ks < 0.02, (alpha, beta, ks)
+
     def test_geneing_mol_matches_xla(self):
         self._parity("geneing-wavernn", "MOL")
 
