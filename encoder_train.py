@@ -27,7 +27,17 @@ if __name__ == "__main__":
     parser.add_argument("--utterances_per_speaker", type=int,
                         default=encoder_model.utterances_per_speaker)
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
+                        help="Serve a live metrics dashboard on this port "
+                             "(visdom replacement; 8097 = visdom default)")
     args = parser.parse_args()
+
+    if args.dashboard is not None:
+        from rtvc_tpu.utils.dashboard import serve as _serve_dashboard
+
+        _serve_dashboard(args.models_dir / args.run_id, port=args.dashboard,
+                         background=True)
+        print(f"Dashboard: http://localhost:{args.dashboard}")
 
     dataset = SpeakerVerificationDataset(args.clean_data_root)
     it = speaker_batch_iterator(

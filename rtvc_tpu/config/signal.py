@@ -40,6 +40,11 @@ class PreprocessingParams(Config):
     signal_normalization: bool = True
     power: float = 1.5
     griffin_lim_iters: int = 80
+    # Fast phase reconstruction toggle (ref hparams `use_lws`,
+    # config/hparams.py — routes inverse spectrograms through the lws
+    # package there; here it selects momentum-accelerated Griffin-Lim,
+    # ops/audio.fast_griffin_lim)
+    use_lws: bool = False
 
     # Audio processing options
     allow_clipping_in_normalization: bool = True

@@ -273,3 +273,52 @@ class TestResample:
         spec = np.abs(np.fft.rfft(out * np.hanning(len(out))))
         peak_hz = np.argmax(spec) * sr_out / len(out)
         assert abs(peak_hz - 440) < 5
+
+
+class TestFastGriffinLim:
+    def test_converges_faster_than_plain_gl(self):
+        """FGLA (the use_lws fast-phase path) must beat plain GL in spectral
+        convergence at equal iterations and roughly match it with 3× fewer."""
+        import jax
+
+        from rtvc_tpu.config import preprocessing, sp
+        from rtvc_tpu.ops import stft as stft_ops
+        from rtvc_tpu.ops.audio import fast_griffin_lim, griffin_lim
+
+        rng = np.random.default_rng(0)
+        t = np.arange(16000) / 16000
+        wav = (0.5 * np.sin(2 * np.pi * 220 * t)
+               + 0.2 * np.sin(2 * np.pi * 440 * t + 0.7)
+               + 0.02 * rng.standard_normal(len(t))).astype(np.float32)
+        S = jnp.abs(stft_ops.stft(jnp.asarray(wav), sp.n_fft, sp.hop_size,
+                                  sp.win_size))
+
+        def conv_err(y):
+            R = jnp.abs(stft_ops.stft(y, sp.n_fft, sp.hop_size, sp.win_size))
+            return float(jnp.linalg.norm(R - S) / jnp.linalg.norm(S))
+
+        key = jax.random.PRNGKey(0)
+        e_gl20 = conv_err(griffin_lim(S, sp, 20, key))
+        e_gl60 = conv_err(griffin_lim(S, sp, 60, key))
+        e_fgla20 = conv_err(fast_griffin_lim(S, sp, 20, key))
+        assert e_fgla20 < e_gl20, (e_fgla20, e_gl20)
+        assert e_fgla20 < 1.25 * e_gl60, (e_fgla20, e_gl60)
+
+    def test_use_lws_toggle_routes_inverse_mel(self):
+        import jax
+
+        from rtvc_tpu.config import preprocessing, sp
+        from rtvc_tpu.ops.audio import inv_mel_spectrogram, melspectrogram
+
+        t = np.arange(8000) / 16000
+        wav = (0.5 * np.sin(2 * np.pi * 330 * t)).astype(np.float32)
+        mel = melspectrogram(jnp.asarray(wav), sp, preprocessing)
+        pp_fast = preprocessing.replace(use_lws=True, griffin_lim_iters=12)
+        y = np.asarray(inv_mel_spectrogram(mel, sp, pp_fast,
+                                           jax.random.PRNGKey(0),
+                                           length=len(wav)))
+        assert y.shape == wav.shape and np.isfinite(y).all()
+        # reconstruction carries the dominant tone
+        spec = np.abs(np.fft.rfft(y))
+        freq = np.fft.rfftfreq(len(y), 1 / 16000)
+        assert abs(freq[np.argmax(spec)] - 330.0) < 10.0

@@ -26,7 +26,17 @@ if __name__ == "__main__":
     parser.add_argument("-s", "--save_every", type=int, default=1000)
     parser.add_argument("-b", "--backup_every", type=int, default=25000)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
+                        help="Serve a live metrics dashboard on this port "
+                             "(visdom replacement; 8097 = visdom default)")
     args = parser.parse_args()
+
+    if args.dashboard is not None:
+        from rtvc_tpu.utils.dashboard import serve as _serve_dashboard
+
+        _serve_dashboard(args.models_dir / args.run_id, port=args.dashboard,
+                         background=True)
+        print(f"Dashboard: http://localhost:{args.dashboard}")
 
     syn_dir = args.syn_dir or args.datasets_root / "SV2TTS" / "synthesizer"
     voc_dir = args.voc_dir or args.datasets_root / "SV2TTS" / "vocoder"
