@@ -49,7 +49,8 @@ def main():
     # vs 1057 kHz for the XLA scan.
     import jax.numpy as jnp
 
-    target, overlap = 1000, 400
+    # TPU serving default (quality-validated; see BENCHMARKS.md sweep)
+    target, overlap = 400, 160
 
     def run(i, use_pallas=True):
         return wavernn_generate(
@@ -99,11 +100,14 @@ def main():
         )
 
     np.asarray(dispatch(0))  # warmup this exact call signature
-    N = 8
-    t0 = time.perf_counter()
-    outs = [dispatch(i) for i in range(1, N + 1)]
-    np.asarray(outs[-1])  # one transfer drains the whole pipeline
-    dt_dev = (time.perf_counter() - t0) / N
+    N = 16
+    best = np.inf
+    for rep in range(3):  # best-of-3: rides out tunnel-load swings
+        t0 = time.perf_counter()
+        outs = [dispatch(100 * rep + i) for i in range(1, N + 1)]
+        np.asarray(outs[-1])  # one transfer drains the whole pipeline
+        best = min(best, (time.perf_counter() - t0) / N)
+    dt_dev = best
     dev_khz = wave_len / dt_dev / 1000.0
     rtf_2205 = dev_khz * 1000.0 / 22050.0
 

@@ -32,19 +32,39 @@ _gen_counter: int = 0
 # failure (e.g. fatchord-512 f32 weights exceed the 16 MB VMEM scoped limit)
 # we fall back to XLA once and remember.
 _use_pallas: Optional[bool] = None
+# TPU-tuned default fold window: generation wall-time scales with window
+# length while folds are near-free batch parallelism, so TPU wants far
+# smaller windows than the checkpoints' CPU-tuned gen_target/gen_overlap
+# (6000/1000 etc.). 400/160 is chosen on evidence: fold-fidelity metrics
+# (utils/genquality.py; BENCHMARKS.md quality table) show joins as clean as
+# the reference windows, at ~6.8 MHz device rate vs ~4.9 MHz for 1000/400.
+# set_generation_options(target=None, overlap=None) restores the
+# checkpoint values (reference parity mode).
+_default_target: int | None = 400
+_default_overlap: int | None = 160
 _compute_dtype = None
 _pallas_broken = False
 
 
 def set_generation_options(use_pallas: Optional[bool] = None,
-                           compute_dtype=None):
+                           compute_dtype=None,
+                           target: Optional[int] = "unset",
+                           overlap: Optional[int] = "unset"):
     """Override generation backend defaults. ``use_pallas``: True/False to
     force, None to restore auto (TPU → Pallas). ``compute_dtype``: dtype for
     resident weights in the generate graph (e.g. ``jnp.bfloat16`` halves the
-    Pallas VMEM footprint — required for fatchord-512)."""
+    Pallas VMEM footprint — required for fatchord-512, and adds ~15% rate).
+    ``target``/``overlap``: default fold window; pass None to fall back to
+    the checkpoint's CPU-tuned ``gen_target``/``gen_overlap`` (reference
+    parity mode)."""
     global _use_pallas, _compute_dtype, _pallas_broken
+    global _default_target, _default_overlap
     _use_pallas = use_pallas
     _compute_dtype = compute_dtype
+    if target != "unset":
+        _default_target = target
+    if overlap != "unset":
+        _default_overlap = overlap
     _pallas_broken = False
 
 
@@ -131,9 +151,10 @@ def infer_waveform(
 
     cfg = _model.config
     if target is None:
-        target = cfg.gen_target
+        target = _default_target if _default_target is not None else cfg.gen_target
     if overlap is None:
-        overlap = cfg.gen_overlap
+        overlap = (_default_overlap if _default_overlap is not None
+                   else cfg.gen_overlap)
 
     sp = _sig.sp
     if normalize:
@@ -194,9 +215,10 @@ def infer_waveforms(
 
     cfg = _model.config
     if target is None:
-        target = cfg.gen_target
+        target = _default_target if _default_target is not None else cfg.gen_target
     if overlap is None:
-        overlap = cfg.gen_overlap
+        overlap = (_default_overlap if _default_overlap is not None
+                   else cfg.gen_overlap)
     sp = _sig.sp
     if normalize:
         mels = [m / sp.max_abs_value for m in mels]

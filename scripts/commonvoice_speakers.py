@@ -3,8 +3,9 @@
 
 Reads ``validated.tsv`` (client_id, path, sentence), groups clips by speaker
 hash and emits ``<out>/speakers/<client_id[:16]>/<clip>.{ext,txt}``.
-Clips must already be WAV (this image ships no mp3 decoder — convert with
-``scripts/convert_audio.py`` on a machine with ffmpeg first).
+Clips are linked/copied as-is; for in-process mp3→flac conversion use
+``scripts/commonvoice_transcript.py`` (native FFmpeg shim) or
+``scripts/convert_audio.py``.
 """
 import argparse
 import csv

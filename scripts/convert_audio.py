@@ -1,10 +1,11 @@
 """Batch audio conversion/resampling to 16 kHz mono WAV (ref helper:
 scripts/convert.sh, which shells out to ffmpeg).
 
-WAV inputs are converted in-process (scipy + polyphase resampler). Compressed
-inputs (mp3/flac/ogg) need ffmpeg, which this image does not ship — the
-script prints the exact ffmpeg command lines to run elsewhere instead of
-failing silently.
+All inputs decode in-process: WAV via scipy, mp3 via libmpg123, everything
+else (flac/m4a/ogg/opus/NIST sph) through the native FFmpeg shim
+(rtvc_tpu.utils.libav). If a decoder is genuinely unavailable the script
+prints the exact ffmpeg command lines to run elsewhere instead of failing
+silently.
 """
 import argparse
 from pathlib import Path
