@@ -128,7 +128,7 @@ def main():
                 return wavernn_generate(
                     voc_bundle.variables, voc_bundle.dims,
                     mel5s / sp.max_abs_value, jax.random.PRNGKey(0),
-                    batched=True, target=1000, overlap=400, mu_law=True,
+                    batched=True, target=400, overlap=160, mu_law=True,
                     apply_preemphasis=True, **kwargs,
                 )
 
@@ -143,7 +143,7 @@ def main():
         w = encoder.preprocess_wav(prompt)
         e = encoder.embed_utterance(w)
         m = synth.synthesize_spectrograms([text], [e], seed=1)[0]
-        return vocoder.infer_waveform(m, target=1000, overlap=400)
+        return vocoder.infer_waveform(m)  # module default window
 
     ts = [timeit(clone, n=1, warmup=0) for _ in range(3)]
     emit("full_clone_p50", float(np.median(ts)), "s")
@@ -155,7 +155,7 @@ def main():
 
     def batched():
         mels = synth.synthesize_spectrograms(texts, embeds, seed=1)
-        return vocoder.infer_waveforms(mels, target=1000, overlap=400)
+        return vocoder.infer_waveforms(mels)  # module default window
 
     dt = timeit(batched, n=2)
     total_audio = sum((m.shape[1] - 1) * 200 for m in
