@@ -10,8 +10,10 @@ RUN_ID ?= default
         preprocess_synth_alignments preprocess_vocoder \
         train_encoder train_synthesizer train_forward train_vocoder
 
-# Quick gate (< ~3 min): everything except the slow-marked lifecycle/
-# learning/training suites. Full gate: make test-all.
+# Quick gate (~3.5 min on the 1-core CI box, faster with a warm JAX
+# compilation cache): everything except slow-marked suites (lifecycle,
+# learning, training, native, pipeline, ref-oracle parity, heavy
+# compiles). Full gate: make test-all (~14 min).
 test:
 	python -m pytest tests/ -x -q -m "not slow"
 

@@ -1,6 +1,7 @@
 """FastPitch tests: torch-API MHA oracle, genuine-reference FFT block, full
 model shapes/generate (full-model parity: tests/ref_oracle/test_ref_fast_pitch.py)."""
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -120,6 +121,7 @@ class TestModel:
         expected[:, 1::2] = torch.cos(position * div)
         np.testing.assert_allclose(pe, expected.numpy(), atol=1e-6)
 
+    @pytest.mark.slow  # full-model compile (~18 s)
     def test_training_forward_shapes(self):
         cfg, d = _dims()
         variables = init_fast_pitch(jax.random.PRNGKey(0), d)

@@ -131,6 +131,7 @@ class TestDurationExtraction:
         assert sharp[0] == pytest.approx(1.0)
 
 
+@pytest.mark.slow  # three full passes over a synthetic corpus (~40 s)
 class TestFullPreprocessingPipeline:
     @pytest.fixture
     def corpus(self, tmp_path):

@@ -356,6 +356,7 @@ def test_textgrid_stats_combined(tmp_path):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow  # embeds with the production-dims encoder (~25 s)
 def test_ted_project(tmp_path):
     root = tmp_path / "speakers"
     for spk, f in (("s1", 300.0), ("s2", 800.0)):

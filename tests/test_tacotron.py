@@ -5,6 +5,7 @@ tests/ref_oracle/test_ref_tacotron.py (teacher-forced forward, generate,
 early stop) — no torch replicas here.
 """
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +30,7 @@ def _dims():
 
 
 class TestGenerate:
+    @pytest.mark.slow  # compiles the full while_loop generate (~30 s)
     def test_shapes_and_valid_steps(self):
         cfg, d = _dims()
         variables = init_tacotron(jax.random.PRNGKey(0), d)
