@@ -63,6 +63,10 @@ if __name__ == "__main__":
     p.add_argument("text", type=str)
     p.add_argument("--n_seeds", type=int, default=10)
 
+    p = sub.add_parser(
+        "tui", help="Interactive full-screen terminal toolbox (curses)."
+    )
+
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -97,3 +101,8 @@ if __name__ == "__main__":
         seed, sim, wav = box.autotune(args.text, utt, n_seeds=args.n_seeds)
         out = box.save_audio(wav, f"autotune_{utt.name}_seed{seed}")
         print("Best seed %d (similarity %.4f) → %s" % (seed, sim, out))
+    elif args.cmd == "tui":
+        _load_models(args, box)
+        from rtvc_tpu.tui import TuiState, run_curses
+
+        run_curses(TuiState(toolbox=box, datasets_root=args.datasets_root))

@@ -7,10 +7,11 @@ PyTorch↔libwavernn backend toggle, RTF display, and seed **autotune**
 (search for the generation seed minimizing the embedding distance between the
 reference voice and the generated audio, ref: toolbox/toolbox.py:413-473).
 
-No Qt in this environment, so the same capabilities are exposed as composable
-functions + a CLI (see demo_toolbox.py): plots are written as PNGs, audio as
-WAVs. The embedding projection uses PCA (umap is not available here; the
-projection role — visualizing speaker clusters — is preserved).
+No Qt in this environment, so the same capabilities are exposed three ways:
+composable functions (this module), a CLI (demo_toolbox.py) and an
+interactive full-screen terminal UI (rtvc_tpu/tui.py, `demo_toolbox.py
+tui`). Plots are written as PNGs, audio as WAVs. The embedding projection
+uses the self-contained t-SNE (utils/projection.py).
 """
 from __future__ import annotations
 
@@ -95,17 +96,19 @@ class Toolbox:
 
     def save_projection(self, out: Optional[Path] = None) -> Optional[Path]:
         """2-D projection of all loaded utterance embeddings, colored by
-        speaker (UMAP role, ref: toolbox/ui.py draw_umap_projections)."""
+        speaker (UMAP role, ref: toolbox/ui.py draw_umap_projections —
+        rendered with the self-contained t-SNE, PCA fallback for tiny n)."""
         if len(self.utterances) < 2:
             return None
         import matplotlib
 
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
-        from sklearn.decomposition import PCA
+
+        from rtvc_tpu.utils.projection import project_2d
 
         embeds = np.stack([u.embed for u in self.utterances])
-        pts = PCA(n_components=2).fit_transform(embeds)
+        pts = project_2d(embeds)
         speakers = sorted({u.speaker_name for u in self.utterances})
         colors = {s: i for i, s in enumerate(speakers)}
         out = out or Path(self.out_dir) / "projection.png"
@@ -114,7 +117,7 @@ class Toolbox:
         for u, (x, y) in zip(self.utterances, pts):
             ax.scatter(x, y, c=[plt.cm.tab10(colors[u.speaker_name] % 10)])
             ax.annotate(u.name, (x, y), fontsize=6)
-        ax.set_title("Utterance embeddings (PCA projection)")
+        ax.set_title("Utterance embeddings (t-SNE projection)")
         fig.savefig(out, dpi=120, bbox_inches="tight")
         plt.close(fig)
         return out

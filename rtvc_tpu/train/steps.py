@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, Dict, NamedTuple, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import optax
@@ -51,7 +53,9 @@ def make_encoder_train_step(model: SpeakerEncoder, optimizer: optax.GradientTran
         )
         return loss, (sim, embeds)
 
-    @jax.jit
+    # donate params/opt_state: XLA updates them in place (halves the peak
+    # footprint of the weight+optimizer arrays per step)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, inputs):
         (loss, (sim, embeds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, inputs)
         # Gradient scale on similarity params (ref: encoder/model.py:36-37)
@@ -93,7 +97,7 @@ def make_tacotron_train_step(
         )
         return loss, (parts, new_stats, attn)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch, rng):
         (loss, (parts, new_stats, attn)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -179,7 +183,7 @@ def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg):
 
     clip = getattr(cfg, "clip_grad_norm", 1.0)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch, rng):
         (loss, (new_stats, parts)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -228,7 +232,7 @@ def make_wavernn_train_step(
             loss = cross_entropy_bits(out, batch["y"])
         return loss, new_stats
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch):
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch_stats, batch
