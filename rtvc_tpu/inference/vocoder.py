@@ -46,10 +46,13 @@ _compute_dtype = None
 _pallas_broken = False
 
 
+_UNSET = object()
+
+
 def set_generation_options(use_pallas: Optional[bool] = None,
                            compute_dtype=None,
-                           target: Optional[int] = "unset",
-                           overlap: Optional[int] = "unset"):
+                           target=_UNSET,
+                           overlap=_UNSET):
     """Override generation backend defaults. ``use_pallas``: True/False to
     force, None to restore auto (TPU → Pallas). ``compute_dtype``: dtype for
     resident weights in the generate graph (e.g. ``jnp.bfloat16`` halves the
@@ -61,9 +64,9 @@ def set_generation_options(use_pallas: Optional[bool] = None,
     global _default_target, _default_overlap
     _use_pallas = use_pallas
     _compute_dtype = compute_dtype
-    if target != "unset":
+    if target is not _UNSET:
         _default_target = target
-    if overlap != "unset":
+    if overlap is not _UNSET:
         _default_overlap = overlap
     _pallas_broken = False
 
