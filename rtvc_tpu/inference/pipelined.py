@@ -72,6 +72,9 @@ def vocode_pipelined(
             True, target, overlap, mu_law, apply_preemphasis, compute_dtype,
             use_pallas,
         )
+        # NB: no copy_to_host_async() here — on the axon remote runtime it
+        # stalls the stream instead of overlapping it (measured); the
+        # per-yield synchronous transfer is the documented cost.
         return out, (n_frames - 1) * d.hop_length
 
     def finish(out, wave_len):
