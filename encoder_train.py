@@ -20,12 +20,18 @@ if __name__ == "__main__":
     parser.add_argument("--save_every", type=int, default=500)
     parser.add_argument("--backup_every", type=int, default=7500)
     parser.add_argument("--total_steps", type=int, default=None)
+    parser.add_argument("-e", "--end_after", type=int, default=None,
+                        help="Stop after this many additional steps "
+                             "(relative; ref encoder_train.py --end_after).")
     parser.add_argument("--learning_rate", type=float,
                         default=encoder_model.learning_rate_init)
     parser.add_argument("--speakers_per_batch", type=int,
                         default=encoder_model.speakers_per_batch)
     parser.add_argument("--utterances_per_speaker", type=int,
                         default=encoder_model.utterances_per_speaker)
+    parser.add_argument("-f", "--force_restart", action="store_true",
+                        help="Ignore any saved model for this run_id and "
+                             "restart from scratch.")
     parser.add_argument("--profile", action="store_true")
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
@@ -49,6 +55,7 @@ if __name__ == "__main__":
         speakers_per_batch=args.speakers_per_batch,
         utterances_per_speaker=args.utterances_per_speaker,
         learning_rate=args.learning_rate, total_steps=args.total_steps,
+        end_after=args.end_after,
         save_every=args.save_every, backup_every=args.backup_every,
-        profile=args.profile,
+        profile=args.profile, resume=not args.force_restart,
     )

@@ -127,6 +127,7 @@ def train_encoder(
     utterances_per_speaker: int = 10,
     learning_rate: float = 1e-6,
     total_steps: Optional[int] = None,
+    end_after: Optional[int] = None,
     save_every: int = 500,
     backup_every: int = 7500,
     eer_every: int = 10,
@@ -168,6 +169,10 @@ def train_encoder(
         data_iterator = _chain_first(first, it)
     opt_state = optimizer.init(params)
 
+    if end_after is not None:
+        # relative stop (ref encoder_train.py --end_after): N more steps
+        # from wherever the run resumed
+        total_steps = min(total_steps or np.inf, step + end_after)
     step_fn = make_encoder_train_step(
         model, optimizer, speakers_per_batch, utterances_per_speaker
     )
@@ -238,6 +243,7 @@ def train_synthesizer(
     seed: int = 0,
     max_steps: Optional[int] = None,
     override_hp=None,
+    resume: bool = True,
 ) -> Dict[str, Any]:
     """Session-scheduled synthesizer training (ref: synthesizer/train.py:56-331).
 
@@ -256,7 +262,7 @@ def train_synthesizer(
 
     variables = bundle.variables
     step = 0
-    if cadence.path.exists():
+    if resume and cadence.path.exists():
         state = ckpt.load_checkpoint(cadence.path)
         variables = {
             "params": jax.tree_util.tree_map(jnp.asarray, state["params"]),
@@ -424,6 +430,7 @@ def train_vocoder(
     seed: int = 0,
     max_steps: Optional[int] = None,
     override_hp=None,
+    resume: bool = True,
 ) -> Dict[str, Any]:
     """WaveRNN training with pruning + anomaly detection
     (ref: vocoder/train.py:23-305)."""
@@ -441,7 +448,7 @@ def train_vocoder(
 
     variables = bundle.variables
     step = 0
-    if cadence.path.exists():
+    if resume and cadence.path.exists():
         state = ckpt.load_checkpoint(cadence.path)
         variables = {
             "params": jax.tree_util.tree_map(jnp.asarray, state["params"]),

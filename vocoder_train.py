@@ -26,6 +26,9 @@ if __name__ == "__main__":
     parser.add_argument("-s", "--save_every", type=int, default=1000)
     parser.add_argument("-b", "--backup_every", type=int, default=25000)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("-f", "--force_restart", action="store_true",
+                        help="Ignore any saved model for this run_id and "
+                             "restart from scratch.")
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")
@@ -71,6 +74,7 @@ if __name__ == "__main__":
     train_vocoder(
         args.run_id, args.model_type, args.models_dir, epoch_batches,
         save_every=args.save_every, backup_every=args.backup_every,
-        max_steps=args.max_steps, gen_hook=gen_hook,
+        max_steps=args.max_steps,
+        resume=not args.force_restart, gen_hook=gen_hook,
         gen_every=args.save_every,
     )
