@@ -133,6 +133,26 @@ def is_loaded() -> bool:
     return _model is not None or _cpp_model is not None
 
 
+def warmup(frame_buckets=(64, 128, 192, 256, 320, 384, 448, 512)) -> int:
+    """Precompile the generate graph for the given mel frame-count buckets
+    (serving cold-start killer: the first call per bucket otherwise pays
+    the full XLA compile — ~20-40 s on TPU, up to minutes through a remote
+    runtime). Returns the number of graphs compiled. The persistent
+    compilation cache makes repeated process starts nearly free."""
+    if _model is None:
+        raise Exception("Please load Wave-RNN in memory before using it")
+    from rtvc_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    d = _model.dims
+    n = 0
+    for frames in frame_buckets:
+        mel = np.zeros((d.feat_dims, int(frames)), np.float32)
+        infer_waveform(mel, normalize=False)
+        n += 1
+    return n
+
+
 def infer_waveform(
     mel: np.ndarray,
     normalize: bool = True,

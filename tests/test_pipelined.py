@@ -79,3 +79,27 @@ def test_rejects_bad_mel(model):
             variables, d, [np.zeros((3, 30), np.float32)],
             jax.random.PRNGKey(0), use_pallas=False,
         ))
+
+
+def test_vocoder_warmup_precompiles(model):
+    from rtvc_tpu.inference import vocoder
+    from rtvc_tpu.models import factories
+
+    variables, d = model
+    bundle = factories.VocModel(
+        model_type="fatchord-wavernn", dims=d, variables=variables,
+        config=None,
+    )
+    # minimal config shim for infer_waveform's cfg lookups
+    class _Cfg:
+        mu_law = True
+        gen_target = 200
+        gen_overlap = 80
+    bundle = bundle._replace(config=_Cfg())
+    vocoder.load_bundle(bundle)
+    vocoder.set_generation_options(use_pallas=False, target=100, overlap=40)
+    try:
+        n = vocoder.warmup(frame_buckets=(16, 32))
+        assert n == 2
+    finally:
+        vocoder.set_generation_options(use_pallas=None, target=400, overlap=160)
