@@ -86,7 +86,14 @@ def number_to_words(
     for scale_value, scale_name in _SCALES:
         count, remaining = divmod(remaining, scale_value)
         if count:
-            groups.append(_three_digits(count, andword) + " " + scale_name)
+            # the top group can itself exceed 999 for numbers beyond the
+            # scales table (e.g. 10^18): recurse like inflect does rather
+            # than index out of the units table
+            count_words = (
+                number_to_words(count, andword)
+                if count >= 1000 else _three_digits(count, andword)
+            )
+            groups.append(count_words + " " + scale_name)
     if remaining:
         groups.append(_three_digits(remaining, andword))
     return ", ".join(groups)

@@ -99,3 +99,46 @@ class TestCleaners:
         seq = text_to_sequence("abc @#$ def", ["basic_cleaners"])
         text = sequence_to_text(seq[:-1])
         assert text == "abc  def"
+
+
+class TestFuzz:
+    """The frontend must never crash and always emit valid symbol ids —
+    whatever bytes a caller throws at it (the reference relies on
+    unidecode's robustness; our transliteration needs the same contract)."""
+
+    def test_random_unicode_never_crashes(self):
+        import random
+
+        from rtvc_tpu.text import text_to_sequence
+        from rtvc_tpu.text.symbols import symbols
+
+        rng = random.Random(0)
+        planes = [(0x20, 0x7F), (0xA0, 0x2FF), (0x370, 0x4FF),
+                  (0x4E00, 0x4FFF), (0x1F300, 0x1F5FF), (0x2000, 0x206F)]
+        for trial in range(200):
+            lo, hi = planes[trial % len(planes)]
+            s = "".join(chr(rng.randint(lo, hi))
+                        for _ in range(rng.randint(0, 40)))
+            seq = text_to_sequence(s, ["english_cleaners"])
+            assert all(0 <= i < len(symbols) for i in seq), s
+            assert seq[-1] == symbols.index("~")  # EOS appended
+
+    def test_pathological_inputs(self):
+        from rtvc_tpu.text import text_to_sequence
+
+        cases = [
+            "", " ", "\t\n\r", "{" * 50, "}" * 50, "{AH0", "AH0}",
+            "{{nested}}", "123" * 200, "Dr. Mr. Mrs. etc. no. 42",
+            "\x00\x01\x02", "ﬁﬂﬀ", "ß" * 30, "½¾⅓", "¹²³",
+            "e" + "́" * 20,  # combining-mark pileup
+            "🎤🔊📢" * 10,
+        ]
+        for s in cases:
+            seq = text_to_sequence(s, ["english_cleaners"])
+            assert isinstance(seq, list) and len(seq) >= 1, repr(s)
+
+    def test_numbers_do_not_explode(self):
+        from rtvc_tpu.text import text_to_sequence
+
+        seq = text_to_sequence("9" * 60, ["english_cleaners"])
+        assert len(seq) < 5000  # bounded expansion, no hang
