@@ -111,3 +111,45 @@ class TestIoIntegration:
                            target_sr=16000)
         assert sr == 16000 and len(wav) > 16000
         assert float(np.abs(wav).max()) <= 1.0
+
+
+class TestRobustness:
+    """Corrupt/hostile inputs must raise clean Python errors — never crash
+    the process (the shim returns error codes; avformat probes safely)."""
+
+    def test_garbage_bytes(self, tmp_path):
+        p = tmp_path / "junk.flac"
+        p.write_bytes(b"\x00\xff" * 500)
+        with pytest.raises(RuntimeError):
+            decode_audio(p)
+
+    def test_empty_file(self, tmp_path):
+        p = tmp_path / "empty.ogg"
+        p.write_bytes(b"")
+        with pytest.raises(RuntimeError):
+            decode_audio(p)
+
+    def test_truncated_flac(self, tmp_path):
+        sr, n = 16000, 16000
+        wav = (0.4 * np.sin(2 * np.pi * 330 * np.arange(n) / sr)).astype(
+            np.float32
+        )
+        p = tmp_path / "t.flac"
+        encode_audio(p, wav, sr)
+        data = p.read_bytes()
+        (tmp_path / "trunc.flac").write_bytes(data[: len(data) // 3])
+        # either a clean error or a shortened decode — never a crash
+        try:
+            dec, _ = decode_audio(tmp_path / "trunc.flac")
+            assert len(dec) <= n
+        except RuntimeError:
+            pass
+
+    def test_missing_file(self):
+        with pytest.raises(RuntimeError, match="cannot open"):
+            decode_audio("/nonexistent/nope.flac")
+
+    def test_encode_bad_extension(self, tmp_path):
+        with pytest.raises(RuntimeError):
+            encode_audio(tmp_path / "x.notaformat", np.zeros(100, np.float32),
+                         16000)
