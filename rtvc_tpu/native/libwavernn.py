@@ -159,6 +159,11 @@ class Vocoder:
         self._seed = 0
 
     def load(self, n_threads: Optional[int] = None):
+        if not Path(self.model_fpath).exists():
+            raise FileNotFoundError(
+                f"No native weights at {self.model_fpath} — export with "
+                f"vocoder_convert_model.py first."
+            )
         self._lib = _load_lib()
         if n_threads is None:
             n_threads = max(os.cpu_count() or 1, 1)

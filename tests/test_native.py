@@ -224,3 +224,22 @@ class TestPublicVocoderAPI:
         # reset module state for other tests
         voc_api._cpp_model = None
         voc_api._model_type = None
+
+
+class TestNativeRobustness:
+    def test_corrupt_weights_raise_cleanly(self, tmp_path):
+        """Garbage weight files must raise, not crash the process."""
+        from rtvc_tpu.native.libwavernn import _Instance, _load_lib
+
+        lib = _load_lib()
+        bad = tmp_path / "garbage.bin"
+        bad.write_bytes(b"\xde\xad\xbe\xef" * 256)
+        with pytest.raises(RuntimeError, match="Failed to load"):
+            _Instance(lib, bad)
+
+    def test_missing_weights_raise(self, tmp_path):
+        from rtvc_tpu.native.libwavernn import Vocoder
+
+        with pytest.raises(FileNotFoundError):
+            Vocoder(tmp_path / "nope.bin", "runtimeracer-wavernn",
+                    verbose=False).load(n_threads=1)
