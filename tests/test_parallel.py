@@ -64,8 +64,14 @@ class TestDataParallelStep:
         opt_state = optimizer.init(params)
         key = jax.random.PRNGKey(0)
 
-        # single-device result
-        p1, _, _, m1, _ = step(params, stats, opt_state, batch, key)
+        # single-device result. NB: the train steps DONATE params/stats/
+        # opt_state (updated in place); pass copies so the originals stay
+        # alive for the DP run below.
+        copy = lambda t: jax.tree_util.tree_map(  # noqa: E731
+            lambda x: jnp.array(x, copy=True), t
+        )
+        p1, _, _, m1, _ = step(copy(params), copy(stats), copy(opt_state),
+                               batch, key)
 
         # DP over the mesh
         with mesh8:
