@@ -89,6 +89,34 @@ class TestWaveRNNKernel:
     def test_runtimeracer_mol_matches_xla(self):
         self._parity("runtimeracer-wavernn", "MOL")
 
+    def test_bf16_streams_preserve_greedy_decode(self):
+        """The production default streams conditioning in bf16 (f32 compute/
+        state); greedy decodes must stay in near-total agreement with the
+        f32-stream decode — a large drift would mean the rounding is
+        changing audio, not just perf."""
+        from rtvc_tpu.models.wavernn import init_wavernn, upsample_forward
+        from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
+
+        d = self._dims("runtimeracer-wavernn", "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(5)
+        mel = jnp.asarray(rng.uniform(-1, 1, (2, d.feat_dims, 12)), jnp.float32)
+        mels = jnp.pad(mel, ((0, 0), (0, 0), (d.pad, d.pad)))
+        mu, aux, _ = upsample_forward(
+            variables["params"]["upsample"],
+            variables["batch_stats"]["upsample"], d, mels, train=False,
+        )
+        a = np.asarray(generate_core_pallas(
+            variables, d, mu, aux, jax.random.PRNGKey(1), argmax=True,
+            interpret=True,
+        ))
+        b = np.asarray(generate_core_pallas(
+            variables, d, mu, aux, jax.random.PRNGKey(1), argmax=True,
+            interpret=True, stream_dtype=jnp.bfloat16,
+        ))
+        agree = float((a == b).mean())
+        assert agree > 0.97, agree
+
     def test_geneing_beta_argmax_matches_xla(self):
         """geneing RAW (2-parameter beta head, round 2 in-kernel): greedy
         decode = distribution mode, must match the XLA path."""
