@@ -25,7 +25,8 @@ import types
 REFERENCE_ROOT = "/root/reference"
 
 _MISSING_DEPS = ("librosa", "librosa.core", "librosa.filters", "librosa.feature",
-                 "soundfile", "webrtcvad", "lws")
+                 "soundfile", "webrtcvad", "lws", "audioread",
+                 "audioread.exceptions")
 
 _cache: dict = {}
 
@@ -49,6 +50,21 @@ def _install_stubs() -> None:
             parent, child = name.rsplit(".", 1)
             if parent in sys.modules:
                 setattr(sys.modules[parent], child, mod)
+    # audioread.exceptions.NoBackendError is imported by encoder/audio.py:6
+    if hasattr(sys.modules.get("audioread.exceptions"), "NoBackendError") is False \
+            and "audioread.exceptions" in sys.modules:
+        sys.modules["audioread.exceptions"].NoBackendError = type(
+            "NoBackendError", (Exception,), {}
+        )
+    # scipy.ndimage.morphology was removed in scipy>=1.15 (used at
+    # encoder/audio.py:1); alias it to scipy.ndimage
+    if "scipy.ndimage.morphology" not in sys.modules:
+        try:
+            import scipy.ndimage.morphology  # noqa: F401
+        except ImportError:
+            import scipy.ndimage
+
+            sys.modules["scipy.ndimage.morphology"] = scipy.ndimage
 
 
 def ref_module(name: str):
