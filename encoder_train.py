@@ -36,7 +36,11 @@ if __name__ == "__main__":
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")
+    from rtvc_tpu.parallel import distributed as dist
+
+    dist.add_launch_args(parser)
     args = parser.parse_args()
+    dp_mesh = dist.setup_from_args(args)
 
     if args.dashboard is not None:
         from rtvc_tpu.utils.dashboard import serve as _serve_dashboard
@@ -45,10 +49,23 @@ if __name__ == "__main__":
                          background=True)
         print(f"Dashboard: http://localhost:{args.dashboard}")
 
+    import jax
+
     dataset = SpeakerVerificationDataset(args.clean_data_root)
+    # Multi-process DP: each process samples its local shard of every GE2E
+    # batch (global speakers/batch stays as configured); distinct seeds keep
+    # the shards disjoint in expectation (the Accelerate per-rank-loader
+    # equivalent, ref: encoder/train.py:79).
+    nproc = jax.process_count()
+    if args.speakers_per_batch % nproc:
+        raise SystemExit(
+            f"speakers_per_batch={args.speakers_per_batch} must divide by "
+            f"the number of processes ({nproc})"
+        )
     it = speaker_batch_iterator(
-        dataset, args.speakers_per_batch, args.utterances_per_speaker,
+        dataset, args.speakers_per_batch // nproc, args.utterances_per_speaker,
         n_frames=160,
+        seed=None if nproc == 1 else 1234 + jax.process_index(),
     )
     train_encoder(
         args.run_id, it, args.models_dir,
@@ -58,4 +75,5 @@ if __name__ == "__main__":
         end_after=args.end_after,
         save_every=args.save_every, backup_every=args.backup_every,
         profile=args.profile, resume=not args.force_restart,
+        dp_mesh=dp_mesh,
     )

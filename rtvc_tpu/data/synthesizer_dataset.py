@@ -183,10 +183,26 @@ class batch_iterator:
         seed: int = 0,
         drop_last: bool = True,
         mel_bucket: int = 2,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch. With ``process_count`` > 1
+        every process builds the same deterministic global batch list (same
+        seed required) and yields its own slice of each batch, collated at
+        the GLOBAL padded shape so the per-process arrays assemble into one
+        global array (jax.make_array_from_process_local_data needs identical
+        local shapes across processes)."""
         self.dataset = dataset
         self.r = r
         self.mel_bucket = mel_bucket
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide by process_count "
+                f"{process_count}"
+            )
+        self.process_index = process_index
+        self.process_count = process_count
+        self.local = batch_size // process_count
         order = np.argsort(
             [len(dataset.samples_texts[i]) for i in range(len(dataset))]
         )
@@ -204,7 +220,14 @@ class batch_iterator:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         for idx in self.batches:
-            yield collate_synthesizer(
+            out = collate_synthesizer(
                 [self.dataset[int(i)] for i in idx], self.r,
                 mel_bucket=self.mel_bucket,
             )
+            if self.process_count > 1:
+                lo = self.process_index * self.local
+                out = {
+                    k: v[lo : lo + self.local] if hasattr(v, "ndim") else v
+                    for k, v in out.items()
+                }
+            yield out

@@ -130,10 +130,22 @@ class batch_iterator:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
+        every process builds the same deterministic global batch list (same
+        seed required) and yields only its own contiguous slice of each —
+        the Accelerate per-rank loader shard (ref: vocoder/train.py:129)."""
         self.dataset = dataset
         self.hp = hp
         self.rng = np.random.default_rng(seed)
+        if batch_size % process_count:
+            raise ValueError(
+                f"global batch {batch_size} must divide by process_count "
+                f"{process_count}"
+            )
+        local = batch_size // process_count
         order = np.arange(len(dataset))
         if shuffle:
             self.rng.shuffle(order)
@@ -142,7 +154,10 @@ class batch_iterator:
         ]
         if drop_last:
             batches = [b for b in batches if len(b) == batch_size]
-        self.batches = batches
+        self.batches = [
+            b[process_index * local : (process_index + 1) * local]
+            for b in batches
+        ]
 
     def __len__(self) -> int:
         return len(self.batches)

@@ -38,11 +38,17 @@ _use_pallas: Optional[bool] = None
 # (6000/1000 etc.). 400/160 is chosen on evidence: fold-fidelity metrics
 # (utils/genquality.py; BENCHMARKS.md quality table) show joins as clean as
 # the reference windows, at ~6.8 MHz device rate vs ~4.9 MHz for 1000/400.
+# The default only kicks in when a TPU is the active device — on CPU/GPU the
+# fold batch is NOT free and the checkpoint's own gen_target/gen_overlap win.
 # set_generation_options(target=None, overlap=None) restores the
-# checkpoint values (reference parity mode).
+# checkpoint values (reference parity mode) everywhere.
 _default_target: int | None = 400
 _default_overlap: int | None = 160
+# user-set windows (via set_generation_options) are honored on every
+# backend; only the module's TPU-tuned default is TPU-conditional
+_window_user_set = False
 _compute_dtype = None
+_stream_dtype = None
 _pallas_broken = False
 
 
@@ -52,22 +58,29 @@ _UNSET = object()
 def set_generation_options(use_pallas: Optional[bool] = None,
                            compute_dtype=None,
                            target=_UNSET,
-                           overlap=_UNSET):
+                           overlap=_UNSET,
+                           stream_dtype=_UNSET):
     """Override generation backend defaults. ``use_pallas``: True/False to
     force, None to restore auto (TPU → Pallas). ``compute_dtype``: dtype for
     resident weights in the generate graph (e.g. ``jnp.bfloat16`` halves the
     Pallas VMEM footprint — required for fatchord-512, and adds ~15% rate).
     ``target``/``overlap``: default fold window; pass None to fall back to
     the checkpoint's CPU-tuned ``gen_target``/``gen_overlap`` (reference
-    parity mode)."""
+    parity mode). ``stream_dtype``: dtype of the per-step conditioning
+    streams in the Pallas kernel — default bf16 (the measured +36%
+    bandwidth win); pass ``jnp.float32`` for reference-parity numerics."""
     global _use_pallas, _compute_dtype, _pallas_broken
-    global _default_target, _default_overlap
+    global _default_target, _default_overlap, _stream_dtype, _window_user_set
     _use_pallas = use_pallas
     _compute_dtype = compute_dtype
     if target is not _UNSET:
         _default_target = target
+        _window_user_set = True
     if overlap is not _UNSET:
         _default_overlap = overlap
+        _window_user_set = True
+    if stream_dtype is not _UNSET:
+        _stream_dtype = stream_dtype
     _pallas_broken = False
 
 
@@ -75,10 +88,24 @@ def _gen_backend():
     import jax.numpy as jnp
 
     dtype = _compute_dtype if _compute_dtype is not None else jnp.float32
+    sdtype = _stream_dtype if _stream_dtype is not None else jnp.bfloat16
     if _use_pallas is not None:
-        return (_use_pallas and not _pallas_broken), dtype
+        return (_use_pallas and not _pallas_broken), dtype, sdtype
     is_tpu = jax.devices()[0].platform == "tpu"
-    return (is_tpu and not _pallas_broken), dtype
+    return (is_tpu and not _pallas_broken), dtype, sdtype
+
+
+def _default_window(cfg):
+    """Resolve the fold window: user-set values always win; the TPU-tuned
+    module default applies only on TPU; otherwise the checkpoint's own
+    CPU-tuned values (the folds-are-free-batch rationale only holds on the
+    accelerator)."""
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if (_window_user_set or on_tpu) and _default_target is not None:
+        return _default_target, (_default_overlap
+                                 if _default_overlap is not None
+                                 else cfg.gen_overlap)
+    return cfg.gen_target, cfg.gen_overlap
 
 
 def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bool = True):
@@ -173,11 +200,11 @@ def infer_waveform(
         )
 
     cfg = _model.config
+    default_t, default_o = _default_window(cfg)
     if target is None:
-        target = _default_target if _default_target is not None else cfg.gen_target
+        target = default_t
     if overlap is None:
-        overlap = (_default_overlap if _default_overlap is not None
-                   else cfg.gen_overlap)
+        overlap = default_o
 
     sp = _sig.sp
     if normalize:
@@ -185,10 +212,11 @@ def infer_waveform(
 
     _gen_counter += 1
     key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
-    use_pallas, dtype = _gen_backend()
+    use_pallas, dtype, sdtype = _gen_backend()
     kwargs = dict(
         batched=batched, target=target, overlap=overlap, mu_law=cfg.mu_law,
         apply_preemphasis=sp.preemphasize, compute_dtype=dtype,
+        stream_dtype=sdtype,
     )
     try:
         wav = wavernn_generate(
@@ -237,19 +265,20 @@ def infer_waveforms(
     from rtvc_tpu.models.wavernn import wavernn_generate_batch
 
     cfg = _model.config
+    default_t, default_o = _default_window(cfg)
     if target is None:
-        target = _default_target if _default_target is not None else cfg.gen_target
+        target = default_t
     if overlap is None:
-        overlap = (_default_overlap if _default_overlap is not None
-                   else cfg.gen_overlap)
+        overlap = default_o
     sp = _sig.sp
     if normalize:
         mels = [m / sp.max_abs_value for m in mels]
     _gen_counter += 1
     key = jax.random.fold_in(jax.random.PRNGKey(_seed), _gen_counter)
-    use_pallas, dtype = _gen_backend()
+    use_pallas, dtype, sdtype = _gen_backend()
     kwargs = dict(target=target, overlap=overlap, mu_law=cfg.mu_law,
-                  apply_preemphasis=sp.preemphasize, compute_dtype=dtype)
+                  apply_preemphasis=sp.preemphasize, compute_dtype=dtype,
+                  stream_dtype=sdtype)
     try:
         return wavernn_generate_batch(
             _model.variables, _model.dims, mels, key,

@@ -680,7 +680,8 @@ def generate_core(
 @functools.partial(
     jax.jit,
     static_argnames=("d", "batched", "target", "overlap", "mu_law",
-                     "apply_preemphasis", "compute_dtype", "use_pallas"),
+                     "apply_preemphasis", "compute_dtype", "use_pallas",
+                     "stream_dtype"),
 )
 def _generate_pipeline(
     variables: Dict,
@@ -694,6 +695,7 @@ def _generate_pipeline(
     apply_preemphasis: bool,
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
+    stream_dtype: Any = jnp.bfloat16,
 ) -> jax.Array:
     """The whole generation path as ONE jitted XLA graph — upsample, fold, AR
     scan, crossfade-unfold, mu-law decode, de-emphasis. A single dispatch per
@@ -710,13 +712,13 @@ def _generate_pipeline(
     if use_pallas:
         from rtvc_tpu.ops.pallas.wavernn_kernel import generate_core_pallas
 
-        # bf16 conditioning streams: the per-step HBM->VMEM conditioning
-        # traffic, not the resident weights, bounds the kernel (+36% rate
-        # measured at f32 compute; argmax decodes are unchanged — the
-        # quantized output absorbs bf16 conditioning rounding)
+        # bf16 conditioning streams by default: the per-step HBM->VMEM
+        # conditioning traffic, not the resident weights, bounds the kernel
+        # (+36% rate measured at f32 compute). stream_dtype=f32 restores
+        # reference-parity numerics (inference.vocoder.set_generation_options).
         samples = generate_core_pallas(
             variables, d, mels_up, aux, key, compute_dtype=compute_dtype,
-            stream_dtype=jnp.bfloat16,
+            stream_dtype=stream_dtype,
         )
     else:
         samples = generate_core(variables, d, mels_up, aux, key,
@@ -753,6 +755,7 @@ def wavernn_generate(
     apply_preemphasis: bool = True,
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
+    stream_dtype: Any = jnp.bfloat16,
 ) -> np.ndarray:
     """Full generation pipeline (ref: fatchord_version.py:155-265):
     pad → upsample → fold → AR scan → unfold/crossfade → mu-law decode →
@@ -790,7 +793,7 @@ def wavernn_generate(
     # geneing's 2-parameter beta via in-kernel Marsaglia-Tsang gamma draws.
     output = _generate_pipeline(
         variables, d, mels, key, batched, target, overlap, mu_law,
-        apply_preemphasis, compute_dtype, use_pallas,
+        apply_preemphasis, compute_dtype, use_pallas, stream_dtype,
     )
 
     output = np.array(output[:wave_len], dtype=np.float64)  # writable copy
@@ -811,6 +814,7 @@ def wavernn_generate_batch(
     apply_preemphasis: bool = True,
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
+    stream_dtype: Any = jnp.bfloat16,
 ):
     """Vocode SEVERAL utterances in one fused generate call: every
     utterance's fold windows share one batch axis, so short utterances ride
@@ -831,7 +835,7 @@ def wavernn_generate_batch(
 
     wavs = _generate_batch_pipeline(
         variables, d, jnp.asarray(stack), key, target, overlap, mu_law,
-        apply_preemphasis, compute_dtype, use_pallas,
+        apply_preemphasis, compute_dtype, use_pallas, stream_dtype,
     )
     out = []
     wavs = np.asarray(wavs, dtype=np.float64)
@@ -847,7 +851,7 @@ def wavernn_generate_batch(
 @functools.partial(
     jax.jit,
     static_argnames=("d", "target", "overlap", "mu_law", "apply_preemphasis",
-                     "compute_dtype", "use_pallas"),
+                     "compute_dtype", "use_pallas", "stream_dtype"),
 )
 def _generate_batch_pipeline(
     variables: Dict,
@@ -860,6 +864,7 @@ def _generate_batch_pipeline(
     apply_preemphasis: bool,
     compute_dtype: Any,
     use_pallas: bool,
+    stream_dtype: Any = jnp.bfloat16,
 ) -> jax.Array:
     N = mels.shape[0]
     mels = jnp.pad(mels, ((0, 0), (0, 0), (d.pad, d.pad)))
@@ -883,7 +888,7 @@ def _generate_batch_pipeline(
 
         samples = generate_core_pallas(
             variables, d, big_m, big_a, key, compute_dtype=compute_dtype,
-            stream_dtype=jnp.bfloat16,
+            stream_dtype=stream_dtype,
         )
     else:
         samples = generate_core(variables, d, big_m, big_a, key,

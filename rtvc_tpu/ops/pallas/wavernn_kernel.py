@@ -16,12 +16,13 @@ automatically through the sequential grid:
   * sampling runs in-kernel: greedy argmax, or Gumbel argmax over the
     per-core TPU PRNG (`pltpu.prng_*`) for stochastic decoding.
 
-Modes: RAW/BITS categorical heads (fatchord/runtimeracer/geneing-BITS) and
-the MOL head (Gumbel component pick + inverse-CDF logistic draw in-kernel).
-Only geneing's 2-parameter beta head keeps the XLA path (beta sampling needs
-gamma rejection sampling — poor fit for a fused kernel). Weight layout is the
-same hoisted form ``generate_core`` uses, so the backends are interchangeable
-per call.
+Modes: all heads run in-kernel — RAW/BITS categorical
+(fatchord/runtimeracer/geneing-BITS), the MOL head (Gumbel component pick +
+inverse-CDF logistic draw), and geneing's 2-parameter beta head via
+Marsaglia-Tsang gamma draws (acceptance test unrolled ×2; the rare double
+reject (<0.25%) falls back to the distribution's mode-like value, a bias far
+below the output quantization). Weight layout is the same hoisted form ``generate_core``
+uses, so the backends are interchangeable per call.
 """
 from __future__ import annotations
 

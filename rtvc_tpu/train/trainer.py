@@ -103,14 +103,25 @@ class CheckpointCadence:
 
     def maybe_save(self, step: int, params, opt_state=None, extras=None,
                    force: bool = False) -> None:
-        if force or (self.save_every > 0 and step % self.save_every == 0):
+        do_save = force or (self.save_every > 0 and step % self.save_every == 0)
+        do_backup = (self.backup_every > 0 and step % self.backup_every == 0
+                     and step > 0)
+        if not (do_save or do_backup):
+            return
+        # Multi-process: barrier, then ONLY the main process writes (the
+        # Accelerate wait_for_everyone + main-process torch.save contract,
+        # ref: encoder/train.py:133-150). The cadence predicate above is
+        # deterministic in `step`, so every process reaches the barrier.
+        from rtvc_tpu.parallel.mesh import is_main_process, wait_for_everyone
+
+        wait_for_everyone()
+        if not is_main_process():
+            return
+        if do_save or do_backup:
             ckpt.save_checkpoint(
                 self.path, params, step, self.model_type, opt_state, extras
             )
-        if self.backup_every > 0 and step % self.backup_every == 0 and step > 0:
-            ckpt.save_checkpoint(
-                self.path, params, step, self.model_type, opt_state, extras
-            )
+        if do_backup:
             ckpt.backup_checkpoint(self.path, self.model_dir / "backups", step)
 
 
@@ -136,8 +147,16 @@ def train_encoder(
     model=None,
     projection_hook=None,
     projection_every: int = 0,
+    dp_mesh=None,
 ) -> Dict[str, Any]:
-    """GE2E training loop (ref: encoder/train.py:11-163)."""
+    """GE2E training loop (ref: encoder/train.py:11-163).
+
+    ``dp_mesh``: a (possibly multi-process) mesh for data-parallel training.
+    ``data_iterator`` then yields each process's LOCAL shard of the batch
+    (local speakers = speakers_per_batch / process_count); the global GE2E
+    similarity matrix is computed over the full global batch — the collective
+    falls out of jit, unlike per-rank DDP where each rank sees only its own
+    sub-batch's matrix."""
     from rtvc_tpu.models.speaker_encoder import (
         SpeakerEncoder,
         compute_eer,
@@ -167,6 +186,10 @@ def train_encoder(
             "similarity": init_similarity_params(),
         }
         data_iterator = _chain_first(first, it)
+    if dp_mesh is not None:
+        from rtvc_tpu.parallel import distributed as dist
+
+        params = dist.replicate_global(params, dp_mesh)
     opt_state = optimizer.init(params)
 
     if end_after is not None:
@@ -191,7 +214,13 @@ def train_encoder(
             break
         t0 = time.perf_counter()
         profiler.tick("data fetch")
-        params, opt_state, stats, sim, embeds = step_fn(params, opt_state, jnp.asarray(batch))
+        if dp_mesh is not None:
+            from rtvc_tpu.parallel import distributed as dist
+
+            inputs = dist.global_batch(np.asarray(batch), dp_mesh)
+        else:
+            inputs = jnp.asarray(batch)
+        params, opt_state, stats, sim, embeds = step_fn(params, opt_state, inputs)
         loss = float(stats["loss"])
         profiler.tick("forward+backward+step")
         step += 1
@@ -199,13 +228,17 @@ def train_encoder(
         time_window.append(time.perf_counter() - t0)
 
         logged = {"loss": loss, "grad_norm": float(stats["grad_norm"])}
+        if dp_mesh is not None:
+            from rtvc_tpu.parallel.distributed import fetch
+        else:
+            fetch = np.asarray
         if eer_every > 0 and step % eer_every == 0:
-            logged["eer"] = compute_eer(np.asarray(sim), speakers_per_batch)
+            logged["eer"] = compute_eer(fetch(sim), speakers_per_batch)
         metrics.log(step, logged)
         last_metrics = logged
         if projection_hook is not None and projection_every > 0 \
                 and step % projection_every == 0:
-            projection_hook(step, np.asarray(embeds).reshape(-1, embeds.shape[-1]))
+            projection_hook(step, fetch(embeds).reshape(-1, embeds.shape[-1]))
         stream(
             "Step %d | loss %.4f (avg %.4f) | %.2f steps/s "
             % (step, loss, loss_window.average, 1.0 / max(time_window.average, 1e-9))
@@ -244,11 +277,14 @@ def train_synthesizer(
     max_steps: Optional[int] = None,
     override_hp=None,
     resume: bool = True,
+    dp_mesh=None,
 ) -> Dict[str, Any]:
     """Session-scheduled synthesizer training (ref: synthesizer/train.py:56-331).
 
     ``epoch_batches(session_index, r)`` yields collated batches for one epoch
-    (r is the Tacotron reduction factor; ignored by NAR models).
+    (r is the Tacotron reduction factor; ignored by NAR models). With
+    ``dp_mesh`` (multi-process DP) each process yields its LOCAL shard of
+    every batch; schedule batch sizes are global.
     """
     from rtvc_tpu.models import factories
 
@@ -272,6 +308,10 @@ def train_synthesizer(
         }
         step = state["step"]
         print(f"Resuming {model_type} run {run_id} at step {step}")
+    if dp_mesh is not None:
+        from rtvc_tpu.parallel import distributed as dist
+
+        variables = dist.replicate_global(variables, dp_mesh)
     opt_state = optimizer.init(variables["params"])
 
     is_tacotron = model_type == factories.MODEL_TYPE_TACOTRON
@@ -311,7 +351,7 @@ def train_synthesizer(
             ]
         )
 
-        step_fn = _make_syn_step(model_type, bundle, optimizer, r)
+        step_fn = _make_syn_step(model_type, bundle, optimizer, r, dp_mesh)
 
         done = False
         for epoch in range(n_epochs):
@@ -362,8 +402,16 @@ def train_synthesizer(
             **{k: float(v) for k, v in last_stats.items()}}
 
 
-def _make_syn_step(model_type, bundle, optimizer, r):
+def _make_syn_step(model_type, bundle, optimizer, r, dp_mesh=None):
     from rtvc_tpu.models import factories
+
+    if dp_mesh is not None:
+        from rtvc_tpu.parallel import distributed as dist
+
+        def as_dev(x):
+            return dist.global_batch(np.asarray(x), dp_mesh)
+    else:
+        as_dev = jnp.asarray
 
     if model_type == factories.MODEL_TYPE_TACOTRON:
         from rtvc_tpu.train.steps import make_tacotron_train_step
@@ -376,10 +424,10 @@ def _make_syn_step(model_type, bundle, optimizer, r):
             params, stats, opt_state, out, _ = raw(
                 variables["params"], variables["batch_stats"], opt_state,
                 {
-                    "chars": jnp.asarray(batch["chars"]),
-                    "mels": jnp.asarray(batch["mels"]),
-                    "embeds": jnp.asarray(batch["embeds"]),
-                    "stop": jnp.asarray(batch["stop"]),
+                    "chars": as_dev(batch["chars"]),
+                    "mels": as_dev(batch["mels"]),
+                    "embeds": as_dev(batch["embeds"]),
+                    "stop": as_dev(batch["stop"]),
                 },
                 rng,
             )
@@ -397,14 +445,14 @@ def _make_syn_step(model_type, bundle, optimizer, r):
         params, stats, opt_state, out = raw(
             variables["params"], variables["batch_stats"], opt_state,
             {
-                "chars": jnp.asarray(batch["chars"]),
-                "mels": jnp.asarray(batch["mels"]),
-                "embeds": jnp.asarray(batch["embeds"]),
-                "durations": jnp.asarray(batch["durations"]),
-                "spec_lens": jnp.asarray(batch["spec_lens"]),
-                "x_lens": jnp.asarray(batch["x_lens"]),
-                "pitch": jnp.asarray(batch["phoneme_pitchs"]),
-                "energy": jnp.asarray(batch["phoneme_energys"]),
+                "chars": as_dev(batch["chars"]),
+                "mels": as_dev(batch["mels"]),
+                "embeds": as_dev(batch["embeds"]),
+                "durations": as_dev(batch["durations"]),
+                "spec_lens": as_dev(batch["spec_lens"]),
+                "x_lens": as_dev(batch["x_lens"]),
+                "pitch": as_dev(batch["phoneme_pitchs"]),
+                "energy": as_dev(batch["phoneme_energys"]),
             },
             rng,
         )
@@ -431,9 +479,13 @@ def train_vocoder(
     max_steps: Optional[int] = None,
     override_hp=None,
     resume: bool = True,
+    dp_mesh=None,
 ) -> Dict[str, Any]:
     """WaveRNN training with pruning + anomaly detection
-    (ref: vocoder/train.py:23-305)."""
+    (ref: vocoder/train.py:23-305). With ``dp_mesh`` (multi-process DP)
+    each process's ``epoch_batches`` yields its LOCAL shard of every batch;
+    the pruning masks are computed on replicated params, so every process
+    applies identical masks."""
     from rtvc_tpu.models import factories
     from rtvc_tpu.train.pruning import apply_prune_masks, compute_prune_masks
     from rtvc_tpu.train.steps import make_wavernn_train_step
@@ -459,6 +511,15 @@ def train_vocoder(
         }
         step = state["step"]
         print(f"Resuming {model_type} run {run_id} at step {step}")
+    if dp_mesh is not None:
+        from rtvc_tpu.parallel import distributed as dist
+
+        variables = dist.replicate_global(variables, dp_mesh)
+
+        def as_dev(x):
+            return dist.global_batch(np.asarray(x), dp_mesh)
+    else:
+        as_dev = jnp.asarray
     opt_state = optimizer.init(variables["params"])
 
     raw_step = make_wavernn_train_step(bundle.dims, optimizer)
@@ -505,10 +566,10 @@ def train_vocoder(
                 params, stats_tree, opt_state, out = raw_step(
                     variables["params"], variables["batch_stats"], opt_state,
                     {
-                        "x": jnp.asarray(batch["x"]),
-                        "y": jnp.asarray(batch["y"]),
-                        "y_float": jnp.asarray(batch["y_float"]),
-                        "mels": jnp.asarray(batch["mels"]),
+                        "x": as_dev(batch["x"]),
+                        "y": as_dev(batch["y"]),
+                        "y_float": as_dev(batch["y_float"]),
+                        "mels": as_dev(batch["mels"]),
                     },
                 )
                 variables = {"params": params, "batch_stats": stats_tree}

@@ -141,7 +141,13 @@ def make_handler(run_dir: Path):
             elif self.path.startswith("/art/"):
                 rel = self.path[len("/art/"):]
                 target = (run_dir / rel).resolve()
-                if run_dir.resolve() not in target.parents or not target.is_file():
+                # confine to run_dir AND to .png artifacts — never serve
+                # checkpoints/metrics through the image endpoint
+                if (
+                    run_dir.resolve() not in target.parents
+                    or target.suffix != ".png"
+                    or not target.is_file()
+                ):
                     self.send_error(404)
                     return
                 self._send(target.read_bytes(), "image/png")
@@ -151,11 +157,13 @@ def make_handler(run_dir: Path):
     return Handler
 
 
-def serve(run_dir, port: int = 8097, background: bool = False):
+def serve(run_dir, port: int = 8097, background: bool = False,
+          host: str = "127.0.0.1"):
     """Serve the dashboard. ``background=True`` returns the server after
-    starting it on a daemon thread (for use inside trainers/tests)."""
+    starting it on a daemon thread (for use inside trainers/tests).
+    Binds loopback by default (no auth); pass ``host='0.0.0.0'`` to expose."""
     run_dir = Path(run_dir)
-    server = ThreadingHTTPServer(("0.0.0.0", port), make_handler(run_dir))
+    server = ThreadingHTTPServer((host, port), make_handler(run_dir))
     if background:
         t = threading.Thread(target=server.serve_forever, daemon=True)
         t.start()
@@ -173,5 +181,7 @@ if __name__ == "__main__":
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     parser.add_argument("run_dir", type=Path)
     parser.add_argument("--port", type=int, default=8097)
+    parser.add_argument("--host", default="127.0.0.1",
+                        help="bind address (0.0.0.0 to expose beyond loopback)")
     args = parser.parse_args()
-    serve(args.run_dir, args.port)
+    serve(args.run_dir, args.port, host=args.host)

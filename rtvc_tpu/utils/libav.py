@@ -30,14 +30,27 @@ def _load():
         return _lib
     try:
         if not _LIB_PATH.exists():
-            # try building it once (cheap: one gcc invocation)
+            # try building it once (cheap: one gcc invocation) — announced,
+            # and failures surfaced rather than silently swallowed
+            import logging
             import subprocess
 
+            log = logging.getLogger(__name__)
             build = _LIB_PATH.parents[1] / "build.sh"
             if build.exists():
-                subprocess.run(
+                log.warning(
+                    "librtvc_audio.so missing — auto-building via %s "
+                    "(one-off gcc compile)", build,
+                )
+                proc = subprocess.run(
                     [str(build)], capture_output=True, timeout=300, check=False
                 )
+                if proc.returncode != 0 or not _LIB_PATH.exists():
+                    log.warning(
+                        "native audio shim build failed (exit %d):\n%s",
+                        proc.returncode,
+                        proc.stderr.decode(errors="replace")[-2000:],
+                    )
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.rtvc_decode_audio.restype = ctypes.c_int
         lib.rtvc_decode_audio.argtypes = [

@@ -27,7 +27,11 @@ if __name__ == "__main__":
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")
+    from rtvc_tpu.parallel import distributed as dist
+
+    dist.add_launch_args(parser)
     args = parser.parse_args()
+    dp_mesh = dist.setup_from_args(args)
 
     if args.dashboard is not None:
         from rtvc_tpu.utils.dashboard import serve as _serve_dashboard
@@ -45,11 +49,15 @@ if __name__ == "__main__":
     # (ref: synthesizer/train.py:172-180).
     bundle_cfg = factories.init_syn_model(args.model_type).config
 
+    import jax
+
     def epoch_batches(session_idx, r):
         schedule = bundle_cfg.tts_schedule[session_idx]
         batch_size = schedule[2] if args.model_type == "tacotron" else schedule[1]
         return batch_iterator(
-            dataset, batch_size=batch_size, r=r, seed=session_idx
+            dataset, batch_size=batch_size, r=r, seed=session_idx,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     if args.model_type == factories.MODEL_TYPE_TACOTRON:
@@ -72,4 +80,5 @@ if __name__ == "__main__":
         resume=not args.force_restart,
         eval_hook=eval_hook,
         eval_interval=bundle_cfg.eval_interval,
+        dp_mesh=dp_mesh,
     )

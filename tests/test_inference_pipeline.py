@@ -135,7 +135,7 @@ class TestGenerationBackendOptions:
             voc_inf.set_generation_options()
 
     def test_auto_backend_is_xla_on_cpu(self, tiny_models):
-        use_pallas, _ = voc_inf._gen_backend()
+        use_pallas, _, _ = voc_inf._gen_backend()
         assert not use_pallas
 
     def test_forced_pallas_decoder_falls_back_on_cpu(self, tiny_models):

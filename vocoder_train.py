@@ -32,7 +32,11 @@ if __name__ == "__main__":
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")
+    from rtvc_tpu.parallel import distributed as dist
+
+    dist.add_launch_args(parser)
     args = parser.parse_args()
+    dp_mesh = dist.setup_from_args(args)
 
     if args.dashboard is not None:
         from rtvc_tpu.utils.dashboard import serve as _serve_dashboard
@@ -56,9 +60,13 @@ if __name__ == "__main__":
     dataset = VocoderDataset(metadata, mel_dir, wav_dir, cfg)
     print(dataset.get_logs())
 
+    import jax
+
     def epoch_batches(session_idx):
         batch_size = int(cfg.voc_tts_schedule[session_idx][3])
-        return batch_iterator(dataset, batch_size, cfg, seed=session_idx)
+        return batch_iterator(dataset, batch_size, cfg, seed=session_idx,
+                              process_index=jax.process_index(),
+                              process_count=jax.process_count())
 
     # Checkpoint-time sample generation (ref: vocoder/train.py:269-271)
     from rtvc_tpu.models import factories as _f
@@ -77,4 +85,5 @@ if __name__ == "__main__":
         max_steps=args.max_steps,
         resume=not args.force_restart, gen_hook=gen_hook,
         gen_every=args.save_every,
+        dp_mesh=dp_mesh,
     )
