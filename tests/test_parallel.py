@@ -89,6 +89,65 @@ class TestDataParallelStep:
         assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
 
 
+def _params_close(a, b, atol=2e-4):
+    da = jax.tree_util.tree_map(
+        lambda x, y: float(jnp.max(jnp.abs(jnp.asarray(x, jnp.float32)
+                                           - jnp.asarray(y, jnp.float32)))),
+        a, b,
+    )
+    worst = max(jax.tree_util.tree_leaves(da))
+    assert worst < atol, f"max param divergence {worst}"
+
+
+@pytest.mark.slow
+class TestAllStagesDP:
+    """DP == single-device for EVERY trainable stage (round-2 verdict:
+    multi-chip evidence covered only Tacotron). Uses the same stage runners
+    the driver's dryrun_multichip executes."""
+
+    def test_encoder_ge2e_dp(self, mesh8):
+        """The subtle one: GE2E needs the GLOBAL similarity matrix; sharded
+        semantics must match single-device exactly (not per-shard DDP)."""
+        from rtvc_tpu.parallel import dryrun
+
+        loss1, p1 = dryrun.encoder_stage(None)
+        with mesh8:
+            loss8, p8 = dryrun.encoder_stage(mesh8)
+        assert abs(loss1 - loss8) < 1e-4, (loss1, loss8)
+        _params_close(p1, p8)
+
+    def test_forward_tacotron_dp(self, mesh8):
+        from rtvc_tpu.parallel import dryrun
+
+        loss1, p1 = dryrun.forward_tacotron_stage(None)
+        with mesh8:
+            loss8, p8 = dryrun.forward_tacotron_stage(mesh8)
+        assert abs(loss1 - loss8) < 1e-4, (loss1, loss8)
+        _params_close(p1, p8)
+
+    def test_wavernn_dp_with_pruning(self, mesh8):
+        """Two steps with in-loop pruning-mask updates under sharding —
+        masks from replicated params must be identical, so the sharded and
+        single-device runs prune the same groups."""
+        from rtvc_tpu.parallel import dryrun
+
+        loss1, frac1, p1 = dryrun.wavernn_stage(None)
+        with mesh8:
+            loss8, frac8, p8 = dryrun.wavernn_stage(mesh8)
+        assert abs(loss1 - loss8) < 1e-4, (loss1, loss8)
+        assert frac1 == frac8 > 0.0
+        _params_close(p1, p8)
+
+    def test_sharded_ckpt_roundtrip(self, mesh8, tmp_path):
+        """Save sharded params → restore → one more sharded step (the
+        multi-chip resume path); bitwise roundtrip asserted inside."""
+        from rtvc_tpu.parallel import dryrun
+
+        with mesh8:
+            loss = dryrun.ckpt_roundtrip(mesh8, tmp_path)
+        assert np.isfinite(loss)
+
+
 class TestShardedGeneration:
     def test_fold_sharded_matches_single_device(self, mesh8):
         from rtvc_tpu.models.wavernn import (
