@@ -101,24 +101,32 @@ def test_curses_shell_under_pty(tmp_path):
         assert "speaker_alpha" in text and "speaker_beta" in text
         assert "utt_0.wav" in text
 
-        # DOWN: select the second speaker. The diff-redraw only moves the
-        # "> " cursor cells, so just drain output briefly (the semantic
-        # check comes from the full repaint below).
-        os.write(master, b"\x1b[B")
-        _read_until(master, ["\x00-never-matches"], timeout=2)
-
-        # TAB: focus switches to the utterance pane. Curses diff-updates
-        # the physical screen, so force a full repaint with a pty resize
-        # (SIGWINCH) to observe the new header state.
-        os.write(master, b"\t")
+        # DOWN: select the second speaker. Curses switched the terminal to
+        # application cursor-key mode (\x1b[?1h\x1b=), so Down is \x1bOB —
+        # the normal-mode \x1b[B is NOT decoded to KEY_DOWN here. Curses
+        # diff-updates the physical screen, so force a full repaint with a
+        # pty resize (SIGWINCH) to observe the moved selection.
+        os.write(master, b"\x1bOB")
         time.sleep(0.5)
         fcntl.ioctl(master, termios.TIOCSWINSZ,
                     struct.pack("HHHH", 30, 98, 0, 0))
         proc.send_signal(signal.SIGWINCH)
-        after_tab = _read_until(master, ["[UTTERANCES]"], timeout=20)
-        assert b"[UTTERANCES]" in after_tab, "TAB must switch pane focus"
-        assert b"speaker_beta" in after_tab, \
+        after_down = _read_until(master, ["> speaker_beta"], timeout=20)
+        assert b"> speaker_beta" in after_down, \
             "DOWN must have moved the speaker selection"
+
+        # TAB: focus switches to the utterance pane (second repaint — the
+        # focus marker moves off the speaker pane onto the utterances).
+        os.write(master, b"\t")
+        time.sleep(0.5)
+        fcntl.ioctl(master, termios.TIOCSWINSZ,
+                    struct.pack("HHHH", 30, 96, 0, 0))
+        proc.send_signal(signal.SIGWINCH)
+        after_tab = _read_until(master, ["[UTTERANCES]", "> utt_0.wav"],
+                                timeout=20)
+        assert b"[UTTERANCES]" in after_tab, "TAB must switch pane focus"
+        assert b"> utt_0.wav" in after_tab, \
+            "focused utterance pane must show its selection cursor"
 
         # q: quit; the child must exit 0 and print the sentinel
         os.write(master, b"q")
