@@ -1,0 +1,102 @@
+"""Native-engine sparse-vs-dense throughput benchmark.
+
+The reference's structured pruning exists to make its C++ engine fast —
+group-4 sparse GEMV is its entire CPU speed story (ref: vocoder/libwavernn/
+runtimeracer_version/src/wavernn.h:23-92, wavernn.cpp:162-184;
+sparsity_target 0.90+ in config/hparams.py:271,339,407). This measures that
+payoff on our engine: the production runtimeracer graph pruned to the
+reference's design sparsity (0.90 dense / 0.90 GRU, group 4), run through
+the SAME engine with the weights stored (a) group-sparse and (b) forced
+dense — identical math, isolating the sparse-GEMV kernel — plus the
+unpruned dense model as the no-pruning baseline.
+
+Prints one JSON line per configuration: single-thread kHz + the sparse
+speedup, and the .bin size shrink.
+"""
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.native import libwavernn
+    from rtvc_tpu.native.convert import export_wavernn
+    from rtvc_tpu.train.pruning import apply_prune_masks, compute_prune_masks
+
+    import tempfile
+
+    bundle = factories.init_voc_model(factories.MODEL_TYPE_RUNTIMERACER, seed=0)
+    d = bundle.dims
+    cfg = bundle.config
+    variables = bundle.variables
+
+    masks = compute_prune_masks(
+        variables["params"], d, jnp.asarray(10**9), 0, 100,
+        cfg.sparsity_target, cfg.sparsity_target_rnn, cfg.sparse_group,
+    )
+    pruned = {
+        "params": apply_prune_masks(variables["params"], masks),
+        "batch_stats": variables["batch_stats"],
+    }
+
+    tmp = Path(tempfile.mkdtemp())
+    paths = {
+        "dense_unpruned": (variables, 1.1),
+        "dense_pruned": (pruned, 1.1),   # same zeros, dense storage
+        "sparse_pruned": (pruned, 0.5),  # group-sparse storage kicks in
+    }
+    lib = libwavernn._load_lib()
+
+    n_frames = 120  # ~1.5 s of audio at hop 200
+    rng = np.random.default_rng(0)
+    mel = rng.uniform(-1, 1, (d.feat_dims, n_frames)).astype(np.float32)
+
+    results = {}
+    for name, (v, thresh) in paths.items():
+        path = tmp / f"{name}.bin"
+        export_wavernn(v, d, path, sparse_threshold=thresh)
+        inst = libwavernn._Instance(lib, path)
+        inst.set_seed(0)
+        wav = inst.mel_to_wav(mel)            # warmup
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            wav = inst.mel_to_wav(mel)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+        khz = len(wav) / dt / 1000.0
+        results[name] = {"khz": khz, "bin_mb": path.stat().st_size / 2**20}
+        del inst
+
+    speedup = results["sparse_pruned"]["khz"] / results["dense_pruned"]["khz"]
+    shrink = (results["dense_pruned"]["bin_mb"]
+              / results["sparse_pruned"]["bin_mb"])
+    for name, r in results.items():
+        print(json.dumps({
+            "metric": f"native_{name}",
+            "value": round(r["khz"], 1),
+            "unit": "kHz",
+            "bin_mb": round(r["bin_mb"], 2),
+        }), flush=True)
+    print(json.dumps({
+        "metric": "native_sparse_speedup",
+        "value": round(speedup, 2),
+        "unit": "x (sparse/dense, same pruned weights, 1 thread)",
+        "size_shrink": round(shrink, 2),
+        "sparsity": f"{cfg.sparsity_target}/{cfg.sparsity_target_rnn} group "
+                    f"{cfg.sparse_group}",
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -110,9 +110,15 @@ def fold_batchnorm(
     return w_f.astype(np.float32), b_f.astype(np.float32)
 
 
-def export_wavernn(variables: Dict[str, Any], dims, out_path: Path) -> None:
+def export_wavernn(variables: Dict[str, Any], dims, out_path: Path,
+                   sparse_threshold: float = 0.5) -> None:
     """Serialize a WaveRNN variables tree (rtvc_tpu.models.wavernn layout)
-    for the native engine."""
+    for the native engine.
+
+    ``sparse_threshold``: group-zero fraction above which Linear/GRU
+    matrices are stored group-sparse (>1 forces dense storage — used by the
+    sparse-vs-dense benchmark to isolate the kernel effect on identical
+    pruned weights)."""
     p = variables["params"]
     s = variables["batch_stats"]
     out_path = Path(out_path)
@@ -175,15 +181,19 @@ def export_wavernn(variables: Dict[str, Any], dims, out_path: Path) -> None:
         for i in range(len(dims.upsample_factors)):
             write_vec(f, np.asarray(p["upsample"]["up_convs"][i]).reshape(-1))
 
-        write_matrix(f, np.asarray(p["I"]["weight"]))
+        write_matrix(f, np.asarray(p["I"]["weight"]),
+                     sparse_threshold=sparse_threshold)
         write_vec(f, np.asarray(p["I"]["bias"]))
 
         for nm in rnn_names:
-            write_matrix(f, np.asarray(p[nm]["weight_ih_l0"]))
-            write_matrix(f, np.asarray(p[nm]["weight_hh_l0"]))
+            write_matrix(f, np.asarray(p[nm]["weight_ih_l0"]),
+                         sparse_threshold=sparse_threshold)
+            write_matrix(f, np.asarray(p[nm]["weight_hh_l0"]),
+                         sparse_threshold=sparse_threshold)
             write_vec(f, np.asarray(p[nm]["bias_ih_l0"]))
             write_vec(f, np.asarray(p[nm]["bias_hh_l0"]))
 
         for nm in fc_names:
-            write_matrix(f, np.asarray(p[nm]["weight"]))
+            write_matrix(f, np.asarray(p[nm]["weight"]),
+                         sparse_threshold=sparse_threshold)
             write_vec(f, np.asarray(p[nm].get("bias", np.zeros(0))))

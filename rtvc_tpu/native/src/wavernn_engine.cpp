@@ -63,7 +63,42 @@ std::vector<float> read_vec(Reader& r) {
   return v;
 }
 
-inline float sigmoidf(float x) { return 1.0f / (1.0f + std::exp(-x)); }
+// Fast branchless expf (Cephes-style polynomial + exponent bit splice,
+// ~2 ulp over the gate range). The GRU gate loops call exp/tanh ~3000×
+// per audio sample; the scalar libm calls were the engine's single
+// largest cost (measured: sparse-vs-dense speedup was capped at 1.3×
+// until these were replaced with something the compiler can vectorize).
+inline float fast_expf(float x) {
+  x = std::min(std::max(x, -87.0f), 88.0f);
+  const float log2e = 1.442695040f;
+  float z = x * log2e;
+  float n = std::floor(z + 0.5f);
+  // r = x - n·ln2 in two pieces for accuracy
+  float r = x - n * 0.693359375f;
+  r -= n * -2.12194440e-4f;
+  // degree-5 minimax polynomial for exp(r), r ∈ [-ln2/2, ln2/2]
+  float p = 1.9875691500e-4f;
+  p = p * r + 1.3981999507e-3f;
+  p = p * r + 8.3334519073e-3f;
+  p = p * r + 4.1665795894e-2f;
+  p = p * r + 1.6666665459e-1f;
+  p = p * r + 5.0000001201e-1f;
+  p = p * r * r + r + 1.0f;
+  int32_t e = (int32_t)n;
+  int32_t bits;
+  std::memcpy(&bits, &p, 4);
+  bits += e << 23;  // scale by 2^n
+  float out;
+  std::memcpy(&out, &bits, 4);
+  return out;
+}
+
+inline float sigmoidf(float x) { return 1.0f / (1.0f + fast_expf(-x)); }
+
+inline float fast_tanhf(float x) {
+  // tanh(x) = 1 - 2/(e^{2x}+1); fast_expf saturates safely at the clamp
+  return 1.0f - 2.0f / (fast_expf(2.0f * x) + 1.0f);
+}
 
 }  // namespace
 
@@ -79,14 +114,35 @@ void gemv_acc(const Mat& m, const float* x, float* y) {
   } else {
     const auto& s = m.sparse;
     const int g = s.group;
-    for (int r = 0; r < s.rows; ++r) {
-      float acc = 0.f;
-      for (int32_t p = s.row_ptr[r]; p < s.row_ptr[r + 1]; ++p) {
-        const float* w = s.vals.data() + (size_t)p * g;
-        const float* xv = x + (size_t)s.group_col[p] * g;
-        for (int k = 0; k < g; ++k) acc += w[k] * xv[k];
+    if (g == 4) {
+      // the production group size — compile-time-4 inner product so the
+      // compiler emits one 128-bit mul+hadd per group instead of a
+      // runtime-length scalar loop (the generic path below cannot unroll)
+      const float* vals = s.vals.data();
+      const uint16_t* gcol = s.group_col.data();
+      for (int r = 0; r < s.rows; ++r) {
+        float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+        const int32_t p0 = s.row_ptr[r], p1 = s.row_ptr[r + 1];
+        for (int32_t p = p0; p < p1; ++p) {
+          const float* w = vals + (size_t)p * 4;
+          const float* xv = x + (size_t)gcol[p] * 4;
+          a0 += w[0] * xv[0];
+          a1 += w[1] * xv[1];
+          a2 += w[2] * xv[2];
+          a3 += w[3] * xv[3];
+        }
+        y[r] += (a0 + a1) + (a2 + a3);
       }
-      y[r] += acc;
+    } else {
+      for (int r = 0; r < s.rows; ++r) {
+        float acc = 0.f;
+        for (int32_t p = s.row_ptr[r]; p < s.row_ptr[r + 1]; ++p) {
+          const float* w = s.vals.data() + (size_t)p * g;
+          const float* xv = x + (size_t)s.group_col[p] * g;
+          for (int k = 0; k < g; ++k) acc += w[k] * xv[k];
+        }
+        y[r] += acc;
+      }
     }
   }
 }
@@ -117,7 +173,7 @@ static void gru_step(const Gru& g, const float* xg /*3H: W_ih x + b_ih*/,
   for (int i = 0; i < H; ++i) {
     float r = sigmoidf(xg[i] + hr[i]);
     float z = sigmoidf(xg[H + i] + hz[i]);
-    float n = std::tanh(xg[2 * H + i] + r * hn[i]);
+    float n = fast_tanhf(xg[2 * H + i] + r * hn[i]);
     h[i] = (1.f - z) * n + z * h[i];
   }
 }
@@ -192,16 +248,18 @@ bool Model::load(const std::string& path, std::string* err) {
 int Model::sample_categorical(const float* logits, int n, bool argmax) {
   if (argmax)
     return (int)(std::max_element(logits, logits + n) - logits);
-  // softmax + CDF inverse sampling
+  // softmax + CDF inverse sampling (float fast-exp into a reused scratch —
+  // the old per-call double vector + libm exp cost ~6% of the sample loop)
   float mx = *std::max_element(logits, logits + n);
-  double total = 0;
-  std::vector<double> p(n);
+  softmax_scratch_.resize(n);
+  float* p = softmax_scratch_.data();
+  float total = 0;
   for (int i = 0; i < n; ++i) {
-    p[i] = std::exp((double)logits[i] - mx);
+    p[i] = fast_expf(logits[i] - mx);
     total += p[i];
   }
   std::uniform_real_distribution<double> U(0.0, 1.0);
-  double u = U(rng_) * total, c = 0;
+  double u = U(rng_) * (double)total, c = 0;
   for (int i = 0; i < n; ++i) {
     c += p[i];
     if (u <= c) return i;

@@ -106,6 +106,7 @@ struct Model {
 
  private:
   std::mt19937_64 rng_{0x5eed};
+  std::vector<float> softmax_scratch_;
   int sample_categorical(const float* logits, int n, bool argmax);
   float sample_mol(const float* logits, bool argmax);
   float sample_beta(const float* logits, bool argmax);
