@@ -1,0 +1,239 @@
+"""Streaming voice cloning: time-to-first-audio far below utterance length.
+
+The batch pipeline (``Synthesizer.synthesize_spectrograms`` →
+``vocoder.infer_waveform``) only returns audio after the WHOLE mel is
+decoded and vocoded. This module streams instead: the Tacotron decoder runs
+in fixed-size chunks (a jitted ``lax.scan`` that carries the decoder state
+across calls), each chunk is post-netted with left context and vocoded with
+conditioning lookback, and waveform chunks are yielded with an equal-power
+crossfade at the joins — first audio leaves the device after one chunk
+(~0.6 s of speech) instead of after the full utterance.
+
+This is the serving capability the reference's "real-time" name implies but
+its implementation lacks (ref synthesizer/inference.py:79-162 and
+vocoder/inference.py:59-95 are both whole-utterance calls; the only
+streaming affordance is a progress callback).
+
+Chunk-boundary quality rides on the same mechanism as fold joins: each
+vocoder call includes ``voc_ctx`` frames of already-emitted conditioning so
+the AR state warms up before the splice point, exactly like a fold window's
+overlap region (ref fold: fatchord_version.py:290-340; join fidelity:
+utils/genquality.py / BENCHMARKS.md quality table). The postnet (a
+bidirectional CBHG) sees ``post_ctx`` raw frames of left context per chunk;
+its missing right context at the live edge is the one approximation
+streaming makes vs the batch path (tests/test_streaming.py bounds it).
+
+TTFA instrumentation: every yielded ``StreamChunk`` carries a wall-clock
+timestamp; ``bench_streaming.py`` reports TTFA on real hardware for
+SERVING.md.
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_encode(d):
+    from rtvc_tpu.models import tacotron as taco
+
+    @jax.jit
+    def _encode(variables, chars, embeds, k):
+        enc_seq, enc_proj, _ = taco.encode(
+            variables, d, chars, embeds, train=False, rng=k
+        )
+        return enc_seq, enc_proj
+
+    return _encode
+
+
+@dataclass
+class StreamChunk:
+    wav: np.ndarray          # float64 samples, crossfaded, ready to play
+    index: int               # chunk number, 0-based
+    final: bool              # True on the last chunk
+    t_emitted: float         # time.perf_counter() when this chunk was ready
+
+
+@functools.lru_cache(maxsize=8)
+def _make_chunk_decoder(d, r: int, chunk_iters: int, min_iters: int = 0):
+    """Jitted: run ``chunk_iters`` decoder iterations from a carried state.
+
+    Returns (mel_chunk (B, n_mels, chunk_iters·r), carry, prev_frame, done,
+    valid_iters). Iterations after the stop condition write padding silence
+    and freeze the carry (masked select — static shapes under jit).
+    Cached per (dims, r, chunk) — a fresh jit per stream would retrace
+    every request (measured: ~1.5 s of the first-audio latency).
+    ``min_iters`` suppresses the stop token before that iteration (serving
+    knob; also how benches get full-length streams from random weights)."""
+    from rtvc_tpu.models import tacotron as taco
+
+    @jax.jit
+    def decode_chunk(variables, carry, prev_frame, done0, start_i,
+                     enc_seq, enc_proj, char_mask, key):
+        params = variables["params"]
+
+        def body(state, it):
+            carry, prev, done = state
+            k = jax.random.fold_in(key, it)
+            new_carry, m, _, stop = taco.decoder_step(
+                params, d, r, carry, prev, enc_seq, enc_proj, char_mask,
+                k, False,
+            )
+            fired = jnp.logical_and(
+                jnp.all(stop > 0.5),
+                jnp.logical_and(it * r > 10, it >= min_iters),
+            )
+            keep = lambda new, old: jnp.where(done, old, new)  # noqa: E731
+            carry = jax.tree_util.tree_map(keep, new_carry, carry)
+            prev = keep(m[:, :, -1], prev)
+            m = jnp.where(done, jnp.float32(-4.0), m)  # silence pad
+            emitted = jnp.logical_not(done)
+            done = jnp.logical_or(done, fired)
+            return (carry, prev, done), (m, emitted)
+
+        (carry, prev, done), (mels, emitted) = jax.lax.scan(
+            body, (carry, prev_frame, done0),
+            start_i + jnp.arange(chunk_iters),
+        )
+        # (chunk_iters, B, n_mels, r) → (B, n_mels, chunk_iters·r)
+        mel_chunk = jnp.moveaxis(mels, 0, 2).reshape(
+            mels.shape[1], d.n_mels, chunk_iters * r
+        )
+        return mel_chunk, carry, prev, done, jnp.sum(emitted)
+
+    return decode_chunk
+
+
+def stream_clone(
+    synth,
+    voc_variables,
+    voc_dims,
+    text: str,
+    embed: np.ndarray,
+    seed: int = 0,
+    chunk_frames: int = 48,
+    post_ctx: int = 32,
+    voc_ctx: int = 12,
+    xfade_frames: int = 2,
+    voc_target: int = 400,
+    voc_overlap: int = 160,
+    use_pallas: Optional[bool] = None,
+    stream_dtype=jnp.bfloat16,
+    min_frames: int = 0,
+) -> Iterator[StreamChunk]:
+    """Clone ``text`` in ``embed``'s voice, yielding playable waveform
+    chunks of ~``chunk_frames`` mel frames (~0.6 s at the production hop).
+
+    ``synth`` is a loaded ``rtvc_tpu.inference.synthesizer.Synthesizer``
+    (Tacotron checkpoints only — the NAR models generate the full mel in
+    one parallel pass and have nothing to stream). ``voc_variables`` /
+    ``voc_dims`` come from the loaded vocoder bundle
+    (``rtvc_tpu.inference.vocoder._model``).
+    """
+    from rtvc_tpu.config import preprocessing
+    from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
+    from rtvc_tpu.models import tacotron as taco
+    from rtvc_tpu.models.wavernn import wavernn_generate
+    from rtvc_tpu.text import text_to_sequence
+
+    d = synth._model.dims
+    variables = synth._model.variables
+    r = synth._r
+    cfg = synth._model.config
+    chunk_frames = -(-chunk_frames // r) * r
+    chunk_iters = chunk_frames // r
+    max_iters = cfg.max_decoder_steps // r
+    hop = voc_dims.hop_length
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+
+    seq = text_to_sequence(text.strip(), preprocessing.cleaner_names)
+    bucket_len = -(-len(seq) // _CHAR_BUCKET) * _CHAR_BUCKET
+    chars = jnp.asarray(pad1d(seq, bucket_len)[None].astype(np.int32))
+    embeds = jnp.asarray(np.asarray(embed, np.float32)[None])
+    # Same key derivation as tacotron_generate (split 3, fold_in(k_dec, i))
+    # → the streamed RAW decoder frames are bit-identical to the batch
+    # path's; only the chunked postnet differs (tests/test_streaming.py).
+    k_enc, k_dec, _ = jax.random.split(jax.random.PRNGKey(seed), 3)
+
+    enc_seq, enc_proj = _cached_encode(d)(variables, chars, embeds, k_enc)
+    char_mask = (chars != 0).astype(jnp.float32)
+
+    decode_chunk = _make_chunk_decoder(d, r, chunk_iters,
+                                       min_iters=min_frames // r)
+    postnet = synth._postnet_jit
+
+    carry = taco.init_decoder_carry(d, 1, chars.shape[1])
+    prev = jnp.zeros((1, d.n_mels))
+    done = jnp.asarray(False)
+
+    raw_hist = np.zeros((d.n_mels, 0), np.float32)    # decoder-mel history
+    post_hist = np.zeros((d.n_mels, 0), np.float32)   # postnet-mel history
+    tail: Optional[np.ndarray] = None                 # xfade reservoir
+    xfade = xfade_frames * hop
+    start_i, index = 0, 0
+
+    while start_i < max_iters:
+        mel_chunk, carry, prev, done, valid = decode_chunk(
+            variables, carry, prev, done, jnp.asarray(start_i),
+            enc_seq, enc_proj, char_mask, k_dec,
+        )
+        valid_frames = int(valid) * r
+        is_final = bool(done) or start_i + chunk_iters >= max_iters
+        if valid_frames == 0:
+            break
+        raw = np.asarray(mel_chunk)[0][:, :valid_frames]
+
+        # Postnet over [left context | chunk]; keep only the chunk part.
+        # Window padded to the chunk+ctx size so the set of compiled
+        # postnet shapes stays at one.
+        ctx = raw_hist[:, -post_ctx:] if post_ctx else raw_hist[:, :0]
+        n_ctx = ctx.shape[1]
+        win = np.full((1, d.n_mels, post_ctx + chunk_frames),
+                      -4.0, np.float32)
+        win[0, :, post_ctx - n_ctx : post_ctx] = ctx
+        win[0, :, post_ctx : post_ctx + valid_frames] = raw
+        post = np.asarray(postnet(variables, jnp.asarray(win)))[0]
+        post_chunk = post[:, post_ctx : post_ctx + valid_frames]
+        raw_hist = np.concatenate([raw_hist, raw], axis=1)[:, -post_ctx:]
+
+        # Vocode [voc context | chunk] so the AR state warms up before the
+        # splice; drop the context samples, crossfade into the reservoir.
+        vctx = post_hist[:, -voc_ctx:] if voc_ctx else post_hist[:, :0]
+        n_vctx = vctx.shape[1]
+        cond = np.concatenate([vctx, post_chunk], axis=1)
+        post_hist = np.concatenate([post_hist, post_chunk], axis=1)[:, -voc_ctx:]
+        from rtvc_tpu.config import sp as _sp
+
+        wav = wavernn_generate(
+            voc_variables, voc_dims, cond / _sp.max_abs_value,
+            jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), index),
+            batched=True, target=voc_target, overlap=voc_overlap,
+            use_pallas=use_pallas, stream_dtype=stream_dtype,
+        )
+        wav = np.asarray(wav)
+        cut = max(n_vctx * hop - xfade, 0)
+        body = wav[cut:]
+        if tail is not None and xfade and len(body) >= xfade:
+            ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, xfade)) ** 2
+            body = body.copy()
+            body[:xfade] = tail * (1.0 - ramp) + body[:xfade] * ramp
+        out, tail = (body[:-xfade], body[-xfade:]) if xfade else (body, None)
+        if is_final and tail is not None:
+            out = np.concatenate([out, tail])
+            tail = None
+        yield StreamChunk(
+            wav=out, index=index, final=is_final, t_emitted=time.perf_counter()
+        )
+        index += 1
+        start_i += chunk_iters
+        if is_final:
+            break

