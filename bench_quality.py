@@ -150,6 +150,50 @@ def train_tiny_pipeline(root: Path):
     return models_dir, syn_dir, voc_dir, taco_bundle, vout
 
 
+def divergence_only():
+    """The TPU-only sampled f32-vs-bf16-stream check, standalone: decodes a
+    fixed synthetic mel with the production runtimeracer graph (random
+    weights — the numerics question is weight-independent) under common
+    randomness, and compares the dtype divergence against the
+    different-seed divergence floor."""
+    import jax
+    import jax.numpy as jnp
+
+    from rtvc_tpu.config import preprocessing, sp
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.models.wavernn import wavernn_generate
+    from rtvc_tpu.utils.cache import enable_persistent_cache
+    from rtvc_tpu.utils.genquality import mel_l2_distance
+
+    enable_persistent_cache()
+    bundle = factories.init_voc_model(factories.MODEL_TYPE_RUNTIMERACER,
+                                      seed=0)
+    mel = np.random.default_rng(0).uniform(
+        -1, 1, (bundle.dims.feat_dims, 160)
+    ).astype(np.float32)
+
+    def decode(key, stream_dtype):
+        return wavernn_generate(
+            bundle.variables, bundle.dims, mel, jax.random.PRNGKey(key),
+            batched=True, target=400, overlap=160, use_pallas=True,
+            stream_dtype=stream_dtype,
+        )
+
+    w_f32 = decode(0, jnp.float32)
+    w_bf16 = decode(0, jnp.bfloat16)
+    w_seed = decode(1, jnp.float32)
+    d_dtype = mel_l2_distance(w_f32, w_bf16, sp, preprocessing)
+    d_seed = mel_l2_distance(w_f32, w_seed, sp, preprocessing)
+    row = {
+        "metric": "bf16_stream_sampled_divergence",
+        "value": round(d_dtype, 4),
+        "different_seed_floor": round(d_seed, 4),
+        "ratio": round(d_dtype / max(d_seed, 1e-9), 3),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
 def main():
     import jax
 
@@ -282,9 +326,13 @@ def _voc_cfg_of():
 
 
 if __name__ == "__main__":
-    main()
-    import os
     import sys
+
+    if "--divergence_only" in sys.argv:
+        divergence_only()
+    else:
+        main()
+    import os
 
     sys.stdout.flush()
     os._exit(0)
