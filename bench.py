@@ -101,15 +101,44 @@ def main():
 
     np.asarray(dispatch(0))  # warmup this exact call signature
     N = 16
-    best = np.inf
+    reps = []
     for rep in range(3):  # best-of-3: rides out tunnel-load swings
         t0 = time.perf_counter()
         outs = [dispatch(100 * rep + i) for i in range(1, N + 1)]
         np.asarray(outs[-1])  # one transfer drains the whole pipeline
-        best = min(best, (time.perf_counter() - t0) / N)
-    dt_dev = best
+        reps.append((time.perf_counter() - t0) / N)
+    dt_dev = min(reps)
     dev_khz = wave_len / dt_dev / 1000.0
     rtf_2205 = dev_khz * 1000.0 / 22050.0
+    # uncertainty band across the 3 pipelined reps (round-2 review: session
+    # swings made <15% deltas unreadable without one)
+    spread_pct = 100.0 * (max(reps) - min(reps)) / max(np.median(reps), 1e-12)
+
+    # Roofline (round 3): workload FLOPs from XLA's cost model on the
+    # XLA-scan backend — both backends run the identical per-step math, so
+    # this is the Pallas kernel's FLOP count too. Streamed-conditioning
+    # bytes are computed analytically from the kernel's stream widths.
+    from rtvc_tpu.models.wavernn import VOC_GENEING, fold_with_overlap
+    from rtvc_tpu.utils.roofline import summarize, xla_cost
+
+    flops, _ = xla_cost(
+        _generate_pipeline, bundle.variables, d, mels_dev,
+        jax.random.PRNGKey(0), True, target, overlap, cfg.mu_law, True,
+        jnp.float32, False,
+    )
+    roof = summarize(flops, dt_dev)
+    # stream traffic: i_cond (R) + per-variant hoisted projections
+    R, F = d.rnn_dims, d.fc_dims
+    if d.variant == VOC_GENEING:
+        width = R + F              # i_cond + fc1_aux
+    else:
+        width = R + 3 * R + 2 * F  # i_cond + gru aux proj + 2 fc aux projs
+    T_up = bucket * d.hop_length
+    _, n_folds = fold_with_overlap(
+        jnp.zeros((1, T_up, 1), jnp.float32), target, overlap
+    )
+    stream_bytes = n_folds * (target + 2 * overlap) * width * 2  # bf16 streams
+    roof["stream_gbps"] = round(stream_bytes / dt_dev / 1e9, 1)
 
     print(
         json.dumps(
@@ -120,6 +149,8 @@ def main():
                 "vs_baseline": round(rtf_2205, 2),
                 "e2e_khz": round(e2e_khz, 2),
                 "e2e_rtf_2205": round(e2e_khz * 1000.0 / 22050.0, 2),
+                "rep_spread_pct": round(spread_pct, 1),
+                **roof,
             }
         )
     )

@@ -87,19 +87,27 @@ def run_synthesis(
         for l in lines
     }
 
+    # Multi-process sharding: batch k belongs to process (k mod P); each
+    # process writes a partial JSON, the main process merges after the
+    # barrier (the reference's per-process result merge,
+    # ref: synthesizer/synthesize.py:154-196).
+    pidx, pcount = jax.process_index(), jax.process_count()
+
     count = 0
     rng = jax.random.PRNGKey(0)
-    for batch in batch_iterator(
+    for k, batch in enumerate(batch_iterator(
         dataset, batch_size, r, shuffle=False, drop_last=False, mel_bucket=2
-    ):
+    )):
+        if k % pcount != pidx:
+            continue
         ids = [dataset.samples_fnames[i] for i in batch["indices"]]
         if skip_existing and all(u in existing for u in ids):
             continue
         jbatch = {
-            k: jnp.asarray(v)
-            for k, v in batch.items()
-            if k in ("chars", "mels", "embeds", "durations", "spec_lens",
-                     "phoneme_pitchs", "phoneme_energys")
+            k2: jnp.asarray(v)
+            for k2, v in batch.items()
+            if k2 in ("chars", "mels", "embeds", "durations", "spec_lens",
+                      "phoneme_pitchs", "phoneme_energys")
         }
         mels_out = np.asarray(forward(bundle.variables, jbatch, rng))
         for b, utt_id in enumerate(ids):
@@ -110,6 +118,21 @@ def run_synthesis(
             metadata[utt_id] = src_lines.get(utt_id, f"{utt_id}|{n * 200}|{n}|")
             count += 1
 
-    meta_out.write_text(json.dumps(metadata))
+    if pcount == 1:
+        meta_out.write_text(json.dumps(metadata))
+    else:
+        part = voc_dir / f"synthesized.part{pidx}.json"
+        part.write_text(json.dumps(metadata))
+        from rtvc_tpu.parallel.mesh import is_main_process, wait_for_everyone
+
+        wait_for_everyone()  # every part file on the shared FS
+        if is_main_process():
+            merged = {}
+            for p in range(pcount):
+                merged.update(json.loads(
+                    (voc_dir / f"synthesized.part{p}.json").read_text()
+                ))
+            meta_out.write_text(json.dumps(merged))
+        wait_for_everyone()  # nobody reads synthesized.json before merge
     print("GTA synthesis wrote %d mels to %s" % (count, gta_dir))
     return count

@@ -309,3 +309,44 @@ class TestGTASynthesis:
 
         first = _np.load(next((voc_dir / "mels_gta").glob("*.npy")))
         assert first.shape[1] == 80
+
+    def test_run_synthesis_multiprocess_shard_merge(self, tmp_path,
+                                                    monkeypatch):
+        """2-process GTA sharding simulated in one process: batch k goes to
+        process k mod 2; each writes a partial JSON; the main process merges
+        (ref contract: synthesizer/synthesize.py:154-196). Results must
+        union to exactly the single-process output."""
+        import json as _json
+
+        import jax as _jax
+
+        from rtvc_tpu.config.synthesizer import TacotronParams
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.parallel import mesh as pmesh
+        from rtvc_tpu.train.gta import run_synthesis
+
+        syn_dir = _make_synth_dataset(tmp_path / "syn")
+        cfg = TacotronParams(
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, lstm_dims=16, postnet_K=2, num_highways=2,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=cfg
+        )
+
+        voc_dir = tmp_path / "voc"
+        monkeypatch.setattr(_jax, "process_count", lambda: 2)
+        monkeypatch.setattr(pmesh, "wait_for_everyone", lambda: None)
+
+        counts = []
+        for pid in (1, 0):  # run the non-main shard first: the merge (by
+            # process 0) must still see process 1's part file
+            monkeypatch.setattr(_jax, "process_index", lambda p=pid: p)
+            counts.append(
+                run_synthesis(syn_dir, voc_dir, bundle, r=2, batch_size=3)
+            )
+
+        assert sum(counts) == 6 and all(c > 0 for c in counts)
+        meta = _json.loads((voc_dir / "synthesized.json").read_text())
+        assert len(meta) == 6
+        assert len(list((voc_dir / "mels_gta").glob("*.npy"))) == 6
