@@ -130,15 +130,39 @@ def clone_loop(args, synth=None):
             if args.seed is not None:
                 vocoder.set_seed(args.seed)
 
-            texts = [text]
-            embeds = [embed]
-            specs = synth.synthesize_spectrograms(texts, embeds) if synth else \
-                synthesizer.synthesize_spectrograms(texts, embeds)
-            spec = specs[0]
-            print("Created the mel spectrogram")
+            if getattr(args, "stream", False) and synth is not None \
+                    and vocoder._model is not None:
+                # Chunked streaming clone: audio arrives ~0.6 s at a time
+                # (inference/streaming.py; TTFA ~233 ms on TPU)
+                import time as _time
 
-            print("Synthesizing the waveform:")
-            generated_wav = vocoder.infer_waveform(spec)
+                from rtvc_tpu.inference.streaming import stream_clone
+
+                t0 = _time.perf_counter()
+                pieces = []
+                for chunk in stream_clone(
+                    synth, vocoder._model.variables, vocoder._model.dims,
+                    text, embed, seed=args.seed or 0,
+                ):
+                    if chunk.index == 0:
+                        print("  first audio after %.0f ms"
+                              % (1000 * (chunk.t_emitted - t0)))
+                    pieces.append(chunk.wav)
+                    print("  chunk %d: %.2f s" % (
+                        chunk.index,
+                        len(chunk.wav) / encoder._data.sampling_rate,
+                    ))
+                generated_wav = np.concatenate(pieces)
+            else:
+                texts = [text]
+                embeds = [embed]
+                specs = synth.synthesize_spectrograms(texts, embeds) if synth else \
+                    synthesizer.synthesize_spectrograms(texts, embeds)
+                spec = specs[0]
+                print("Created the mel spectrogram")
+
+                print("Synthesizing the waveform:")
+                generated_wav = vocoder.infer_waveform(spec)
 
             # Pad and trim like the reference (ref: demo_cli.py:198-201)
             sr = encoder._data.sampling_rate
@@ -185,6 +209,10 @@ if __name__ == "__main__":
     parser.add_argument("--no_mp3_support", action="store_true",
                         help="Skip the mp3 support probe (mp3 decode itself "
                              "uses the system libmpg123 when present).")
+    parser.add_argument("--stream", action="store_true",
+                        help="Stream the clone in ~0.6 s chunks (Tacotron "
+                             "only; first audio in ~0.2 s instead of after "
+                             "the whole utterance).")
     parser.add_argument("--selftest", action="store_true",
                         help="Run only the configuration test and exit.")
     args = parser.parse_args()
