@@ -111,6 +111,37 @@ def main():
     dt = timeit(gl_once)
     emit("griffin_lim_30it", dt * 1000, "ms")
 
+    # ---- 2b. NAR synthesizers (single parallel pass — no AR loop) ----------
+    chars_nar = jnp.asarray(
+        rng.integers(1, 60, (1, 80)).astype(np.int32)
+    )
+    embed_nar = jnp.asarray(rng.standard_normal((1, 768)).astype(np.float32))
+    for mtype, label in (
+        (factories.MODEL_TYPE_FORWARD_TACOTRON, "forward_tacotron_generate"),
+        (factories.MODEL_TYPE_FASTPITCH, "fastpitch_generate"),
+    ):
+        try:
+            nb = factories.init_syn_model(mtype, seed=0)
+            if mtype == factories.MODEL_TYPE_FORWARD_TACOTRON:
+                from rtvc_tpu.models.forward_tacotron import (
+                    forward_generate as nar_gen,
+                )
+            else:
+                from rtvc_tpu.models.fast_pitch import (
+                    fastpitch_generate as nar_gen,
+                )
+
+            def nar_once():
+                m, _ = nar_gen(nb.variables, nb.dims, chars_nar, embed_nar,
+                               jax.random.PRNGKey(0))
+                return np.asarray(m)
+
+            m = nar_once()
+            dt = timeit(nar_once)
+            emit(label, dt * 1000, "ms", {"frames": int(m.shape[-1])})
+        except Exception as e:  # keep the suite running
+            emit(label, -1, "ms", {"error": str(e)[:80]})
+
     # ---- 3. WaveRNN infer_waveform ----------------------------------------
     voc_bundle = factories.init_voc_model(factories.MODEL_TYPE_RUNTIMERACER, seed=0)
     vocoder.load_bundle(voc_bundle)
