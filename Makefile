@@ -5,7 +5,8 @@ DATASETS_ROOT ?= datasets
 MODELS_DIR ?= saved_models
 RUN_ID ?= default
 
-.PHONY: test test-all bench native selftest demo \
+.PHONY: test test-all bench bench-all bench-train bench-native \
+        bench-quality bench-streaming native selftest demo \
         preprocess_encoder preprocess_synth_audio preprocess_synth_embeds \
         preprocess_synth_alignments preprocess_vocoder \
         train_encoder train_synthesizer train_forward train_vocoder
@@ -22,6 +23,21 @@ test-all:
 
 bench:
 	python bench.py
+
+bench-all:
+	python bench_all.py
+
+bench-train:
+	python bench_train.py
+
+bench-native:
+	python bench_native.py
+
+bench-quality:
+	python bench_quality.py
+
+bench-streaming:
+	python bench_streaming.py
 
 native:
 	rtvc_tpu/native/build.sh
