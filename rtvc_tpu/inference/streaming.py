@@ -128,6 +128,7 @@ def stream_clone(
     use_pallas: Optional[bool] = None,
     stream_dtype=jnp.bfloat16,
     min_frames: int = 0,
+    first_chunk_frames: Optional[int] = None,
 ) -> Iterator[StreamChunk]:
     """Clone ``text`` in ``embed``'s voice, yielding playable waveform
     chunks of ~``chunk_frames`` mel frames (~0.6 s at the production hop).
@@ -137,6 +138,11 @@ def stream_clone(
     one parallel pass and have nothing to stream). ``voc_variables`` /
     ``voc_dims`` come from the loaded vocoder bundle
     (``rtvc_tpu.inference.vocoder._model``).
+
+    ``first_chunk_frames``: a smaller opening chunk ramps the stream —
+    time-to-first-audio scales with the first chunk's decode+vocode, so
+    e.g. 16 (→ 0.2 s of audio) roughly halves TTFA while later chunks run
+    at the steady-state size (one extra compiled decoder graph).
     """
     from rtvc_tpu.config import preprocessing
     from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
@@ -167,8 +173,14 @@ def stream_clone(
     enc_seq, enc_proj = _cached_encode(d)(variables, chars, embeds, k_enc)
     char_mask = (chars != 0).astype(jnp.float32)
 
-    decode_chunk = _make_chunk_decoder(d, r, chunk_iters,
-                                       min_iters=min_frames // r)
+    steady_decoder = _make_chunk_decoder(d, r, chunk_iters,
+                                         min_iters=min_frames // r)
+    if first_chunk_frames:
+        first_iters = max(-(-first_chunk_frames // r), 1)
+        first_decoder = _make_chunk_decoder(d, r, first_iters,
+                                            min_iters=min_frames // r)
+    else:
+        first_iters, first_decoder = chunk_iters, steady_decoder
     postnet = synth._postnet_jit
 
     carry = taco.init_decoder_carry(d, 1, chars.shape[1])
@@ -182,12 +194,16 @@ def stream_clone(
     start_i, index = 0, 0
 
     while start_i < max_iters:
+        decode_chunk, n_iters = (
+            (first_decoder, first_iters) if index == 0
+            else (steady_decoder, chunk_iters)
+        )
         mel_chunk, carry, prev, done, valid = decode_chunk(
             variables, carry, prev, done, jnp.asarray(start_i),
             enc_seq, enc_proj, char_mask, k_dec,
         )
         valid_frames = int(valid) * r
-        is_final = bool(done) or start_i + chunk_iters >= max_iters
+        is_final = bool(done) or start_i + n_iters >= max_iters
         if valid_frames == 0:
             break
         raw = np.asarray(mel_chunk)[0][:, :valid_frames]
@@ -234,6 +250,6 @@ def stream_clone(
             wav=out, index=index, final=is_final, t_emitted=time.perf_counter()
         )
         index += 1
-        start_i += chunk_iters
+        start_i += n_iters
         if is_final:
             break

@@ -78,6 +78,26 @@ def test_stream_chunks_contiguous_and_sized(models):
     assert total > hop * 8, total
 
 
+def test_ramped_first_chunk(models):
+    """first_chunk_frames yields a smaller opening chunk (the TTFA lever)
+    while keeping the stream contiguous and final."""
+    synth, voc = models
+    hop = voc.dims.hop_length
+    chunks = list(stream_clone(
+        synth, voc.variables, voc.dims, TEXT, _embed(), seed=1,
+        chunk_frames=24, first_chunk_frames=8, post_ctx=16, voc_ctx=8,
+        voc_target=400, voc_overlap=100, use_pallas=False, min_frames=40,
+    ))
+    assert len(chunks) >= 3
+    # opening chunk ≈ 8 frames of audio (xfade trim makes it slightly
+    # shorter), later chunks are the steady-state size
+    assert len(chunks[0].wav) <= 8 * hop
+    assert len(chunks[1].wav) > len(chunks[0].wav)
+    assert chunks[-1].final
+    for c in chunks:
+        assert np.isfinite(c.wav).all()
+
+
 def test_streamed_raw_decode_matches_batch(models):
     """Same seed → the chunked decoder walks the exact trajectory of the
     batch while_loop (state carry + RNG folding are equivalence-critical)."""
