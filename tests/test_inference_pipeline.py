@@ -138,6 +138,32 @@ class TestGenerationBackendOptions:
         use_pallas, _, _ = voc_inf._gen_backend()
         assert not use_pallas
 
+    def test_window_default_is_checkpoint_on_cpu(self, tiny_models):
+        """The TPU-tuned 400/160 module default must NOT override the
+        checkpoint's CPU-tuned gen_target/gen_overlap off-TPU (ADVICE r2);
+        a user-set window wins everywhere."""
+        cfg = voc_inf._model.config
+        try:
+            t, o = voc_inf._default_window(cfg)
+            assert (t, o) == (cfg.gen_target, cfg.gen_overlap)
+            voc_inf.set_generation_options(target=320, overlap=128)
+            assert voc_inf._default_window(cfg) == (320, 128)
+        finally:
+            voc_inf.set_generation_options()
+            voc_inf._window_user_set = False
+
+    def test_stream_dtype_plumbs_through_options(self, tiny_models):
+        import jax.numpy as jnp
+
+        try:
+            _, _, sd = voc_inf._gen_backend()
+            assert sd == jnp.bfloat16  # default
+            voc_inf.set_generation_options(stream_dtype=jnp.float32)
+            _, _, sd = voc_inf._gen_backend()
+            assert sd == jnp.float32  # reference-parity opt-out
+        finally:
+            voc_inf.set_generation_options(stream_dtype=None)
+
     def test_forced_pallas_decoder_falls_back_on_cpu(self, tiny_models):
         """Forcing the Pallas Tacotron decoder on CPU (no Mosaic) must fall
         back to the XLA while_loop inside synthesize_spectrograms."""
