@@ -307,19 +307,10 @@ def fastpitch_forward(
     )
 
 
-def fastpitch_generate(
-    variables: Dict,
-    d: FastPitchDims,
-    x: jax.Array,
-    spk_emb: jax.Array,
-    rng: jax.Array,
-    alpha: float = 1.0,
-    pitch_function: Optional[Callable] = None,
-    energy_function: Optional[Callable] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Generation (ref: fast_pitch.py:289-344): two-jit predict → synthesize.
-    Returns (mel (B, n_mels, L), durations (B, T_text))."""
-    p = variables["params"]
+@functools.lru_cache(maxsize=8)
+def _generate_jits(d: FastPitchDims):
+    """Jitted (predict, synth) pair cached per dims — per-call jit
+    definitions re-traced every request (measured ~1.6 s/utterance)."""
 
     @jax.jit
     def _predict(variables, x, spk_emb):
@@ -329,25 +320,6 @@ def fastpitch_generate(
         pitch = _series_forward(p["pitch_pred"], d, x, spk_emb, pad_mask, 1.0, None, False)
         energy = _series_forward(p["energy_pred"], d, x, spk_emb, pad_mask, 1.0, None, False)
         return dur, pitch, energy
-
-    dur_hat, pitch_hat, energy_hat = _predict(variables, x, spk_emb)
-    dur_hat = np.asarray(dur_hat)[..., 0] / alpha
-    # pitch/energy functions receive (B, 1, T) like the reference
-    # (ref: fast_pitch.py:300-303)
-    pitch_hat = np.swapaxes(np.asarray(pitch_hat), 1, 2)
-    energy_hat = np.swapaxes(np.asarray(energy_hat), 1, 2)
-    if pitch_function is not None:
-        pitch_hat = np.asarray(pitch_function(pitch_hat))
-    if energy_function is not None:
-        energy_hat = np.asarray(energy_function(energy_hat))
-
-    # Degenerate-duration guard with the reference's truncation semantics
-    # (ref fast_pitch.py:295-297: sum(dur_hat.long()) <= 0 → fill 2.0)
-    if np.trunc(dur_hat).sum() <= 0:
-        dur_hat = np.full_like(dur_hat, 2.0)
-    durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
-    mel_lens = durations.sum(axis=1)
-    max_len = int(-(-int(mel_lens.max()) // 128) * 128)
 
     @functools.partial(jax.jit, static_argnames=("max_len",))
     def _synth(variables, x, spk_emb, durations, pitch, energy, mel_lens, max_len):
@@ -382,6 +354,41 @@ def fastpitch_generate(
         m = _mm(h, p["lin"]["weight"].T) + p["lin"]["bias"]
         m = jnp.where(mel_pad_mask[..., None], d.padding_value, m)
         return jnp.swapaxes(m, 1, 2)
+
+    return _predict, _synth
+
+
+def fastpitch_generate(
+    variables: Dict,
+    d: FastPitchDims,
+    x: jax.Array,
+    spk_emb: jax.Array,
+    rng: jax.Array,
+    alpha: float = 1.0,
+    pitch_function: Optional[Callable] = None,
+    energy_function: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generation (ref: fast_pitch.py:289-344): two-jit predict → synthesize.
+    Returns (mel (B, n_mels, L), durations (B, T_text))."""
+    _predict, _synth = _generate_jits(d)
+    dur_hat, pitch_hat, energy_hat = _predict(variables, x, spk_emb)
+    dur_hat = np.asarray(dur_hat)[..., 0] / alpha
+    # pitch/energy functions receive (B, 1, T) like the reference
+    # (ref: fast_pitch.py:300-303)
+    pitch_hat = np.swapaxes(np.asarray(pitch_hat), 1, 2)
+    energy_hat = np.swapaxes(np.asarray(energy_hat), 1, 2)
+    if pitch_function is not None:
+        pitch_hat = np.asarray(pitch_function(pitch_hat))
+    if energy_function is not None:
+        energy_hat = np.asarray(energy_function(energy_hat))
+
+    # Degenerate-duration guard with the reference's truncation semantics
+    # (ref fast_pitch.py:295-297: sum(dur_hat.long()) <= 0 → fill 2.0)
+    if np.trunc(dur_hat).sum() <= 0:
+        dur_hat = np.full_like(dur_hat, 2.0)
+    durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
+    mel_lens = durations.sum(axis=1)
+    max_len = int(-(-int(mel_lens.max()) // 128) * 128)
 
     mel = _synth(
         variables, x, spk_emb, jnp.asarray(durations),

@@ -21,6 +21,7 @@ TPU-native design:
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -483,24 +484,13 @@ def forward_tacotron_forward(
     )
 
 
-def forward_generate(
-    variables: Dict,
-    d: ForwardTacotronDims,
-    x: jax.Array,
-    spk_emb: jax.Array,
-    rng: jax.Array,
-    alpha: float = 1.0,
-    pitch_function: Optional[Callable] = None,
-    energy_function: Optional[Callable] = None,
-) -> Tuple[np.ndarray, np.ndarray]:
-    """Generation (ref: forward_tacotron.py:185-213): predict durations/pitch/
-    energy, host-round durations, then synthesize at a bucketed max length.
-    Returns (mel_post (B, n_mels, L), durations (B, T_text))."""
-    params, stats = variables["params"], variables["batch_stats"]
+@functools.lru_cache(maxsize=8)
+def _generate_jits(d: ForwardTacotronDims):
+    """Jitted (predict, synth) pair cached per dims — defining them inside
+    ``forward_generate`` re-traced every call (~1.4 s/utterance measured;
+    the same bug class as the round-3 streaming fix)."""
 
-    import functools
-
-    @functools.partial(jax.jit, static_argnames=())
+    @jax.jit
     def _predict(variables, x, spk_emb):
         p, s = variables["params"], variables["batch_stats"]
         dur, _ = series_predictor(
@@ -517,6 +507,34 @@ def forward_generate(
         )
         return dur, pitch, energy
 
+    @functools.partial(jax.jit, static_argnames=("max_len",))
+    def _synth(variables, x, spk_emb, durations, pitch, energy, mel_lens,
+               max_len):
+        p, s = variables["params"], variables["batch_stats"]
+        mel, mel_post, _ = _mel_synthesis(
+            p, s, d, x, spk_emb, durations, pitch, energy,
+            max_len=max_len, mel_lens=mel_lens, train=False, rng=None,
+            exact_lengths=True,
+        )
+        return mel, mel_post
+
+    return _predict, _synth
+
+
+def forward_generate(
+    variables: Dict,
+    d: ForwardTacotronDims,
+    x: jax.Array,
+    spk_emb: jax.Array,
+    rng: jax.Array,
+    alpha: float = 1.0,
+    pitch_function: Optional[Callable] = None,
+    energy_function: Optional[Callable] = None,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Generation (ref: forward_tacotron.py:185-213): predict durations/pitch/
+    energy, host-round durations, then synthesize at a bucketed max length.
+    Returns (mel_post (B, n_mels, L), durations (B, T_text))."""
+    _predict, _synth = _generate_jits(d)
     dur_hat, pitch_hat, energy_hat = _predict(variables, x, spk_emb)
     dur_hat = np.asarray(dur_hat)[..., 0] / alpha
     # pitch/energy functions receive (B, 1, T) like the reference
@@ -541,16 +559,6 @@ def forward_generate(
     durations = np.maximum(np.floor(dur_hat + 0.5), 0.0).astype(np.int32)
     mel_lens = durations.sum(axis=1)
     max_len = int(-(-int(mel_lens.max()) // 128) * 128)
-
-    @functools.partial(jax.jit, static_argnames=("max_len",))
-    def _synth(variables, x, spk_emb, durations, pitch, energy, mel_lens, max_len):
-        p, s = variables["params"], variables["batch_stats"]
-        mel, mel_post, _ = _mel_synthesis(
-            p, s, d, x, spk_emb, durations, pitch, energy,
-            max_len=max_len, mel_lens=mel_lens, train=False, rng=None,
-            exact_lengths=True,
-        )
-        return mel, mel_post
 
     mel, mel_post = _synth(
         variables, x, spk_emb, jnp.asarray(durations),
