@@ -27,6 +27,21 @@ from rtvc_tpu.models.wavernn import (
 )
 
 
+@functools.lru_cache(maxsize=16)
+def _sharded_run(d: WaveRNNDims, mesh: Mesh, axis: str, compute_dtype):
+    """Jitted sharded AR core, cached per (dims, mesh, dtype) — a fresh jit
+    inside generate_sharded re-traced on every utterance."""
+    fold_sharding = NamedSharding(mesh, P(axis))
+
+    @functools.partial(jax.jit, out_shardings=fold_sharding)
+    def _run(variables, mels_up, aux, key):
+        return generate_core(
+            variables, d, mels_up, aux, key, compute_dtype=compute_dtype
+        )
+
+    return _run
+
+
 def generate_sharded(
     variables: Dict,
     d: WaveRNNDims,
@@ -69,16 +84,7 @@ def generate_sharded(
         lambda x: jax.device_put(x, replicated), variables
     )
 
-    @functools.partial(
-        jax.jit,
-        static_argnames=(),
-        out_shardings=fold_sharding,
-    )
-    def _run(variables, mels_up, aux, key):
-        return generate_core(
-            variables, d, mels_up, aux, key, compute_dtype=compute_dtype
-        )
-
+    _run = _sharded_run(d, mesh, axis, compute_dtype)
     with mesh:
         samples = _run(variables, mels_up, aux, key)
     samples = samples[:n_folds]
