@@ -346,6 +346,14 @@ def create_align_features(
             if ("phoneme-energy-%s.npy" % u) not in existing
         ]
 
+    # Multi-process: shard the utterance list by process index — the same
+    # split the reference does for this pass
+    # (ref: synthesizer/preprocess.py:459-465).
+    import jax as _jax
+
+    if _jax.process_count() > 1:
+        utterances = utterances[_jax.process_index()::_jax.process_count()]
+
     aligner = batch_hook or TacotronAligner(synthesizer_model_fpath)
     extractor = DurationExtractor(
         silence_threshold=preprocessing.silence_threshold,

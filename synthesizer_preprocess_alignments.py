@@ -16,7 +16,11 @@ if __name__ == "__main__":
         help="Trained Tacotron checkpoint used for attention extraction.",
     )
     parser.add_argument("-s", "--skip_existing", action="store_true")
+    from rtvc_tpu.parallel import distributed as dist
+
+    dist.add_launch_args(parser)
     args = parser.parse_args()
+    dist.setup_from_args(args)  # shards the utterance list by process
 
     create_align_features(
         args.synthesizer_root, args.synthesizer_model_fpath,
