@@ -100,6 +100,38 @@ def main():
     emit("tacotron_synthesize", dt * 1000, "ms",
          {"frames": int(mel.shape[1])})
 
+    # Decoder roofline: device time via pipelined dispatch + FLOPs from
+    # XLA's cost model on the while_loop decode graph (round-3 MFU column)
+    from rtvc_tpu.models import tacotron as taco
+    from rtvc_tpu.utils.roofline import summarize, xla_cost
+
+    d_t = bundle.dims
+    chars_j = jnp.asarray(
+        np.pad(np.asarray(
+            [ord(c) % 60 + 1 for c in text], np.int32), (0, 64 - len(text) % 64)
+        )[None]
+    )
+    embed_j = jnp.asarray(np.asarray(embed, np.float32)[None])
+
+    decode = jax.jit(lambda v, c, e, k: taco.tacotron_generate(
+        v, d_t, c, e, 2, k, max_steps=400
+    ))
+    try:
+        flops, _ = xla_cost(decode, bundle.variables, chars_j, embed_j,
+                            jax.random.PRNGKey(0))
+        np.asarray(decode(bundle.variables, chars_j, embed_j,
+                          jax.random.PRNGKey(0))[0])  # warmup
+        N = 8
+        t0 = time.perf_counter()
+        outs = [decode(bundle.variables, chars_j, embed_j,
+                       jax.random.PRNGKey(i)) for i in range(1, N + 1)]
+        np.asarray(outs[-1][0])
+        dt = (time.perf_counter() - t0) / N
+        emit("tacotron_decoder_device", dt * 1000, "ms",
+             {"frames": 400, **summarize(flops, dt)})
+    except Exception as e:
+        emit("tacotron_decoder_device", -1, "ms", {"error": str(e)[:80]})
+
     gl_pp = preprocessing.replace(griffin_lim_iters=30)
     from rtvc_tpu.ops.audio import inv_mel_spectrogram
 
