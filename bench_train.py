@@ -3,7 +3,10 @@
 vocoder/train.py:274-287 — streamed from a 100-step ValueWindow).
 
 Prints one JSON line per stage with production batch shapes (first-session
-schedule entries) on a single chip.
+schedule entries) on a single chip. Each line carries the roofline columns
+(round 3): FLOPs/step from XLA's own cost model, achieved TFLOP/s, MFU vs
+the chip's bf16 peak, and bytes/s vs HBM bandwidth
+(rtvc_tpu/utils/roofline.py states the assumed peaks).
 """
 from __future__ import annotations
 
@@ -32,6 +35,8 @@ def main():
         make_wavernn_train_step,
     )
 
+    from rtvc_tpu.utils.roofline import summarize, xla_cost
+
     rng = np.random.default_rng(0)
     optimizer = optax.adam(1e-4)
 
@@ -52,6 +57,9 @@ def main():
         p, o, stats, _, _ = step(p, o, batch)
         return p, o, stats
 
+    # cost BEFORE the first run (the step donates its buffers)
+    enc_flops, enc_bytes = xla_cost(step, params, opt_state, batch)
+
     # timing loop: carry params through and read the loss each step so the
     # device work can't be elided
     p, o = params, opt_state
@@ -62,7 +70,8 @@ def main():
     for _ in range(N):
         p, o, st = enc_step(p, o)
     float(st["loss"])
-    print(json.dumps({"metric": "encoder_train", "value": round(N / (time.perf_counter() - t0), 3), "unit": "steps/s", "batch": f"{S}x{U}x160"}), flush=True)
+    dt = (time.perf_counter() - t0) / N
+    print(json.dumps({"metric": "encoder_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{S}x{U}x160", **summarize(enc_flops, dt, enc_bytes)}), flush=True)
 
     # ---- tacotron: first-session schedule (r=7, batch 112) ------------------
     bundle = factories.init_syn_model(factories.MODEL_TYPE_TACOTRON, seed=0)
@@ -78,13 +87,15 @@ def main():
     tp, ts_ = bundle.variables["params"], bundle.variables["batch_stats"]
     to = optimizer.init(tp)
     key = jax.random.PRNGKey(0)
+    t_flops, t_bytes = xla_cost(tstep, tp, ts_, to, tbatch, key)
     tp, ts_, to, stats, _ = tstep(tp, ts_, to, tbatch, key)
     float(stats["loss"])
     t0 = time.perf_counter()
     for _ in range(N):
         tp, ts_, to, stats, _ = tstep(tp, ts_, to, tbatch, key)
     float(stats["loss"])
-    print(json.dumps({"metric": "tacotron_train", "value": round(N / (time.perf_counter() - t0), 3), "unit": "steps/s", "batch": f"{B}x{frames}f r={r}"}), flush=True)
+    dt = (time.perf_counter() - t0) / N
+    print(json.dumps({"metric": "tacotron_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{B}x{frames}f r={r}", **summarize(t_flops, dt, t_bytes)}), flush=True)
 
     # ---- wavernn: first-session schedule (batch 40, seq 1000) ---------------
     vb = factories.init_voc_model(factories.MODEL_TYPE_FATCHORD, seed=0)
@@ -101,13 +112,15 @@ def main():
     }
     vp, vs = vb.variables["params"], vb.variables["batch_stats"]
     vo = optimizer.init(vp)
+    v_flops, v_bytes = xla_cost(vstep, vp, vs, vo, vbatch)
     vp, vs, vo, stats = vstep(vp, vs, vo, vbatch)
     float(stats["loss"])
     t0 = time.perf_counter()
     for _ in range(N):
         vp, vs, vo, stats = vstep(vp, vs, vo, vbatch)
     float(stats["loss"])
-    print(json.dumps({"metric": "wavernn_train", "value": round(N / (time.perf_counter() - t0), 3), "unit": "steps/s", "batch": f"{B}x{seq}"}), flush=True)
+    dt = (time.perf_counter() - t0) / N
+    print(json.dumps({"metric": "wavernn_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{B}x{seq}", **summarize(v_flops, dt, v_bytes)}), flush=True)
 
 
 if __name__ == "__main__":
