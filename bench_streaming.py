@@ -56,6 +56,7 @@ def main():
             synth, voc.variables, voc.dims, text, embed, seed=seed,
             chunk_frames=48, post_ctx=32, voc_ctx=12,
             voc_target=400, voc_overlap=160, first_chunk_frames=first,
+            voc_config=voc.config,
             # random weights: the untrained stop head fires immediately —
             # force a full-length ~5 s stream (the latency being measured
             # is weight-independent)

@@ -143,6 +143,7 @@ def clone_loop(args, synth=None):
                 for chunk in stream_clone(
                     synth, vocoder._model.variables, vocoder._model.dims,
                     text, embed, seed=args.seed or 0,
+                    voc_config=vocoder._model.config,
                 ):
                     if chunk.index == 0:
                         print("  first audio after %.0f ms"

@@ -51,17 +51,20 @@ if __name__ == "__main__":
 
     import jax
 
-    dataset = SpeakerVerificationDataset(args.clean_data_root)
-    # Multi-process DP: each process samples its local shard of every GE2E
-    # batch (global speakers/batch stays as configured); distinct seeds keep
-    # the shards disjoint in expectation (the Accelerate per-rank-loader
-    # equivalent, ref: encoder/train.py:79).
+    # Multi-process DP: the speaker LIST is sharded disjointly per process
+    # (no same-speaker collisions inside one global GE2E batch) and each
+    # process samples its local slice of every batch (the Accelerate
+    # per-rank-loader equivalent, ref: encoder/train.py:79).
     nproc = jax.process_count()
     if args.speakers_per_batch % nproc:
         raise SystemExit(
             f"speakers_per_batch={args.speakers_per_batch} must divide by "
             f"the number of processes ({nproc})"
         )
+    dataset = SpeakerVerificationDataset(
+        args.clean_data_root,
+        process_index=jax.process_index(), process_count=nproc,
+    )
     it = speaker_batch_iterator(
         dataset, args.speakers_per_batch // nproc, args.utterances_per_speaker,
         n_frames=160,

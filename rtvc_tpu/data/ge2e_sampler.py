@@ -102,16 +102,30 @@ class Speaker:
 
 class SpeakerVerificationDataset:
     """Infinite speaker sampler over a preprocessed dataset root
-    (ref: speaker_verification_dataset.py:12-40)."""
+    (ref: speaker_verification_dataset.py:12-40).
 
-    def __init__(self, datasets_root: Path):
+    ``process_index``/``process_count``: multi-process DP shards the
+    SPEAKER LIST disjointly (deterministic sorted split), so one global
+    GE2E batch never contains the same speaker from two processes — a
+    collision would make the contrastive loss push apart two batch rows
+    of the same identity."""
+
+    def __init__(self, datasets_root: Path, process_index: int = 0,
+                 process_count: int = 1):
         self.root = Path(datasets_root)
-        speaker_dirs = [f for f in self.root.glob("*") if f.is_dir()]
+        speaker_dirs = sorted(f for f in self.root.glob("*") if f.is_dir())
         if len(speaker_dirs) == 0:
             raise Exception(
                 "No speakers found. Make sure you are pointing to the "
                 "directory containing all preprocessed speaker directories."
             )
+        if process_count > 1:
+            speaker_dirs = speaker_dirs[process_index::process_count]
+            if not speaker_dirs:
+                raise Exception(
+                    f"Process {process_index}/{process_count} got an empty "
+                    "speaker shard — too few speakers for this process count."
+                )
         self.speakers = [Speaker(d) for d in speaker_dirs]
         self.speaker_cycler = RandomCycler(self.speakers)
 

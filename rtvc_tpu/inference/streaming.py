@@ -63,7 +63,8 @@ class StreamChunk:
 
 
 @functools.lru_cache(maxsize=8)
-def _make_chunk_decoder(d, r: int, chunk_iters: int, min_iters: int = 0):
+def _make_chunk_decoder(d, r: int, chunk_iters: int, min_iters: int = 0,
+                        pad_value: float = -4.0):
     """Jitted: run ``chunk_iters`` decoder iterations from a carried state.
 
     Returns (mel_chunk (B, n_mels, chunk_iters·r), carry, prev_frame, done,
@@ -94,7 +95,7 @@ def _make_chunk_decoder(d, r: int, chunk_iters: int, min_iters: int = 0):
             keep = lambda new, old: jnp.where(done, old, new)  # noqa: E731
             carry = jax.tree_util.tree_map(keep, new_carry, carry)
             prev = keep(m[:, :, -1], prev)
-            m = jnp.where(done, jnp.float32(-4.0), m)  # silence pad
+            m = jnp.where(done, jnp.float32(pad_value), m)  # silence pad
             emitted = jnp.logical_not(done)
             done = jnp.logical_or(done, fired)
             return (carry, prev, done), (m, emitted)
@@ -129,6 +130,10 @@ def stream_clone(
     stream_dtype=jnp.bfloat16,
     min_frames: int = 0,
     first_chunk_frames: Optional[int] = None,
+    mu_law: Optional[bool] = None,
+    apply_preemphasis: Optional[bool] = None,
+    compute_dtype=jnp.float32,
+    voc_config=None,
 ) -> Iterator[StreamChunk]:
     """Clone ``text`` in ``embed``'s voice, yielding playable waveform
     chunks of ~``chunk_frames`` mel frames (~0.6 s at the production hop).
@@ -143,8 +148,12 @@ def stream_clone(
     time-to-first-audio scales with the first chunk's decode+vocode, so
     e.g. 16 (→ 0.2 s of audio) roughly halves TTFA while later chunks run
     at the steady-state size (one extra compiled decoder graph).
+
+    ``mu_law``/``apply_preemphasis`` default from ``voc_config`` (the
+    vocoder bundle's WaveRNNParams — pass it so non-mu-law / non-preemph
+    checkpoints decode identically to ``vocoder.infer_waveform``).
     """
-    from rtvc_tpu.config import preprocessing
+    from rtvc_tpu.config import preprocessing, sp as _sp
     from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
     from rtvc_tpu.models import tacotron as taco
     from rtvc_tpu.models.wavernn import wavernn_generate
@@ -160,6 +169,14 @@ def stream_clone(
     hop = voc_dims.hop_length
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
+    # decode flags follow the vocoder checkpoint, like infer_waveform does
+    if mu_law is None:
+        mu_law = getattr(voc_config, "mu_law", True)
+    if apply_preemphasis is None:
+        apply_preemphasis = _sp.preemphasize
+    pad_value = -float(_sp.max_abs_value)
+    post_ctx = max(post_ctx, 0)
+    voc_ctx = max(voc_ctx, 0)
 
     seq = text_to_sequence(text.strip(), preprocessing.cleaner_names)
     bucket_len = -(-len(seq) // _CHAR_BUCKET) * _CHAR_BUCKET
@@ -174,11 +191,13 @@ def stream_clone(
     char_mask = (chars != 0).astype(jnp.float32)
 
     steady_decoder = _make_chunk_decoder(d, r, chunk_iters,
-                                         min_iters=min_frames // r)
+                                         min_iters=min_frames // r,
+                                         pad_value=pad_value)
     if first_chunk_frames:
         first_iters = max(-(-first_chunk_frames // r), 1)
         first_decoder = _make_chunk_decoder(d, r, first_iters,
-                                            min_iters=min_frames // r)
+                                            min_iters=min_frames // r,
+                                            pad_value=pad_value)
     else:
         first_iters, first_decoder = chunk_iters, steady_decoder
     postnet = synth._postnet_jit
@@ -211,41 +230,58 @@ def stream_clone(
         # Postnet over [left context | chunk]; keep only the chunk part.
         # Window padded to the chunk+ctx size so the set of compiled
         # postnet shapes stays at one.
-        ctx = raw_hist[:, -post_ctx:] if post_ctx else raw_hist[:, :0]
+        ctx = raw_hist[:, raw_hist.shape[1] - post_ctx :]
         n_ctx = ctx.shape[1]
         win = np.full((1, d.n_mels, post_ctx + chunk_frames),
-                      -4.0, np.float32)
+                      pad_value, np.float32)
         win[0, :, post_ctx - n_ctx : post_ctx] = ctx
         win[0, :, post_ctx : post_ctx + valid_frames] = raw
         post = np.asarray(postnet(variables, jnp.asarray(win)))[0]
         post_chunk = post[:, post_ctx : post_ctx + valid_frames]
-        raw_hist = np.concatenate([raw_hist, raw], axis=1)[:, -post_ctx:]
+        raw_hist = np.concatenate([raw_hist, raw], axis=1)
+        raw_hist = raw_hist[:, raw_hist.shape[1] - post_ctx :]
 
         # Vocode [voc context | chunk] so the AR state warms up before the
         # splice; drop the context samples, crossfade into the reservoir.
-        vctx = post_hist[:, -voc_ctx:] if voc_ctx else post_hist[:, :0]
+        vctx = post_hist[:, post_hist.shape[1] - voc_ctx :]
         n_vctx = vctx.shape[1]
         cond = np.concatenate([vctx, post_chunk], axis=1)
-        post_hist = np.concatenate([post_hist, post_chunk], axis=1)[:, -voc_ctx:]
-        from rtvc_tpu.config import sp as _sp
+        post_hist = np.concatenate([post_hist, post_chunk], axis=1)
+        post_hist = post_hist[:, post_hist.shape[1] - voc_ctx :]
 
         wav = wavernn_generate(
             voc_variables, voc_dims, cond / _sp.max_abs_value,
             jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), index),
             batched=True, target=voc_target, overlap=voc_overlap,
             use_pallas=use_pallas, stream_dtype=stream_dtype,
+            mu_law=mu_law, apply_preemphasis=apply_preemphasis,
+            compute_dtype=compute_dtype,
+            # mid-stream chunks must NOT carry the end-of-utterance fade —
+            # it would dip the audio to silence at every join; the final
+            # chunk gets its fade below
+            fade_out=False,
         )
         wav = np.asarray(wav)
-        cut = max(n_vctx * hop - xfade, 0)
+        # Alignment: a window of F conditioning frames decodes (F−1)·hop
+        # samples, so each chunk's wav ends one frame short; the NEXT
+        # chunk's context re-decodes that boundary frame. Cutting at
+        # (n_vctx − 1)·hop (not n_vctx·hop) recovers it — total stream
+        # length then matches the batch clone's (Σvalid − 1)·hop.
+        cut = max((n_vctx - 1) * hop - xfade, 0) if n_vctx else 0
         body = wav[cut:]
         if tail is not None and xfade and len(body) >= xfade:
             ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, xfade)) ** 2
             body = body.copy()
             body[:xfade] = tail * (1.0 - ramp) + body[:xfade] * ramp
         out, tail = (body[:-xfade], body[-xfade:]) if xfade else (body, None)
-        if is_final and tail is not None:
-            out = np.concatenate([out, tail])
-            tail = None
+        if is_final:
+            if tail is not None:
+                out = np.concatenate([out, tail])
+                tail = None
+            out = out.copy()
+            fade_len = min(20 * hop, len(out))
+            if fade_len:
+                out[-fade_len:] *= np.linspace(1.0, 0.0, fade_len)
         yield StreamChunk(
             wav=out, index=index, final=is_final, t_emitted=time.perf_counter()
         )

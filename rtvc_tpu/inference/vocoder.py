@@ -45,8 +45,11 @@ _use_pallas: Optional[bool] = None
 _default_target: int | None = 400
 _default_overlap: int | None = 160
 # user-set windows (via set_generation_options) are honored on every
-# backend; only the module's TPU-tuned default is TPU-conditional
-_window_user_set = False
+# backend; only the module's TPU-tuned default is TPU-conditional.
+# Tracked PER KNOB: setting only the overlap must not drag the TPU-tuned
+# target onto a CPU backend (review r3).
+_target_user_set = False
+_overlap_user_set = False
 _compute_dtype = None
 _stream_dtype = None
 _pallas_broken = False
@@ -70,15 +73,16 @@ def set_generation_options(use_pallas: Optional[bool] = None,
     streams in the Pallas kernel — default bf16 (the measured +36%
     bandwidth win); pass ``jnp.float32`` for reference-parity numerics."""
     global _use_pallas, _compute_dtype, _pallas_broken
-    global _default_target, _default_overlap, _stream_dtype, _window_user_set
+    global _default_target, _default_overlap, _stream_dtype
+    global _target_user_set, _overlap_user_set
     _use_pallas = use_pallas
     _compute_dtype = compute_dtype
     if target is not _UNSET:
         _default_target = target
-        _window_user_set = True
+        _target_user_set = True
     if overlap is not _UNSET:
         _default_overlap = overlap
-        _window_user_set = True
+        _overlap_user_set = True
     if stream_dtype is not _UNSET:
         _stream_dtype = stream_dtype
     _pallas_broken = False
@@ -96,16 +100,21 @@ def _gen_backend():
 
 
 def _default_window(cfg):
-    """Resolve the fold window: user-set values always win; the TPU-tuned
-    module default applies only on TPU; otherwise the checkpoint's own
-    CPU-tuned values (the folds-are-free-batch rationale only holds on the
-    accelerator)."""
+    """Resolve the fold window PER KNOB: a user-set value always wins; the
+    TPU-tuned module default applies only on TPU; otherwise the
+    checkpoint's own CPU-tuned value (the folds-are-free-batch rationale
+    only holds on the accelerator)."""
     on_tpu = jax.devices()[0].platform == "tpu"
-    if (_window_user_set or on_tpu) and _default_target is not None:
-        return _default_target, (_default_overlap
-                                 if _default_overlap is not None
-                                 else cfg.gen_overlap)
-    return cfg.gen_target, cfg.gen_overlap
+
+    def pick(user_set, module_default, ckpt_value):
+        if (user_set or on_tpu) and module_default is not None:
+            return module_default
+        return ckpt_value
+
+    return (
+        pick(_target_user_set, _default_target, cfg.gen_target),
+        pick(_overlap_user_set, _default_overlap, cfg.gen_overlap),
+    )
 
 
 def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bool = True):

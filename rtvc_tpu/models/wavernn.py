@@ -756,6 +756,7 @@ def wavernn_generate(
     compute_dtype: Any = jnp.float32,
     use_pallas: bool = False,
     stream_dtype: Any = jnp.bfloat16,
+    fade_out: bool = True,
 ) -> np.ndarray:
     """Full generation pipeline (ref: fatchord_version.py:155-265):
     pad → upsample → fold → AR scan → unfold/crossfade → mu-law decode →
@@ -797,9 +798,11 @@ def wavernn_generate(
     )
 
     output = np.array(output[:wave_len], dtype=np.float64)  # writable copy
-    fade_len = min(20 * d.hop_length, len(output))
-    fade_out = np.linspace(1.0, 0.0, fade_len)
-    output[-fade_len:] *= fade_out
+    if fade_out:
+        # end-of-utterance fade (ref: fatchord_version.py:257-259) —
+        # streaming callers disable it mid-stream (it would dip every chunk)
+        fade_len = min(20 * d.hop_length, len(output))
+        output[-fade_len:] *= np.linspace(1.0, 0.0, fade_len)
     return output
 
 

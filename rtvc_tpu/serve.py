@@ -93,8 +93,15 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
 
     sr = sp.sample_rate
     skw = dict(stream_kwargs or {})
+    if "voc_config" not in skw and voc_mod._model is not None:
+        skw["voc_config"] = voc_mod._model.config
 
     class Handler(BaseHTTPRequestHandler):
+        # chunked transfer coding requires HTTP/1.1 — the BaseHTTPRequestHandler
+        # default (HTTP/1.0) makes conforming clients ignore Transfer-Encoding
+        # and read chunk-size framing as audio bytes
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 
@@ -135,6 +142,7 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                 self.send_error(404)
 
         def do_POST(self):  # noqa: N802
+            streaming_started = False
             try:
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
@@ -160,6 +168,7 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                     self.send_header("Content-Type", "audio/wav")
                     self.send_header("Transfer-Encoding", "chunked")
                     self.end_headers()
+                    streaming_started = True
 
                     def chunk_out(data: bytes):
                         self.wfile.write(b"%x\r\n" % len(data))
@@ -179,6 +188,12 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
             except BrokenPipeError:
                 pass
             except Exception as e:  # surface errors as JSON, keep serving
+                if streaming_started:
+                    # headers are out — writing a second status line would
+                    # corrupt the chunked framing; just drop the connection
+                    # (the client sees a truncated stream)
+                    self.close_connection = True
+                    return
                 try:
                     self._json({"error": repr(e)[:200]}, 500)
                 except Exception:

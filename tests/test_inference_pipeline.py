@@ -148,9 +148,16 @@ class TestGenerationBackendOptions:
             assert (t, o) == (cfg.gen_target, cfg.gen_overlap)
             voc_inf.set_generation_options(target=320, overlap=128)
             assert voc_inf._default_window(cfg) == (320, 128)
+            # per-knob: setting only the overlap must NOT drag the
+            # TPU-tuned target default onto a CPU backend (review r3)
+            voc_inf._target_user_set = False
+            voc_inf._overlap_user_set = False
+            voc_inf.set_generation_options(overlap=96)
+            assert voc_inf._default_window(cfg) == (cfg.gen_target, 96)
         finally:
             voc_inf.set_generation_options()
-            voc_inf._window_user_set = False
+            voc_inf._target_user_set = False
+            voc_inf._overlap_user_set = False
 
     def test_stream_dtype_plumbs_through_options(self, tiny_models):
         import jax.numpy as jnp

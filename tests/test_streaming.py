@@ -60,22 +60,37 @@ def test_stream_chunks_contiguous_and_sized(models):
     synth, voc = models
     hop = voc.dims.hop_length
     # chunk of 4 iters (8 frames at r=2): the stop rule can't fire before
-    # i·r > 10, so a random-weight model still yields ≥ 2 chunks
+    # i·r > 10, so a random-weight model still yields ≥ 2 chunks; force
+    # ≥ 40 decoded frames so the length invariant below is checkable
     chunks = list(stream_clone(
         synth, voc.variables, voc.dims, TEXT, _embed(), seed=1,
         chunk_frames=8, post_ctx=16, voc_ctx=8, voc_target=400,
-        voc_overlap=100, use_pallas=False,
+        voc_overlap=100, use_pallas=False, min_frames=40,
     ))
-    assert len(chunks) >= 2, "stop guard should force >1 chunk"
+    assert len(chunks) >= 5, "stop suppression should force many chunks"
     assert chunks[-1].final and not any(c.final for c in chunks[:-1])
     assert [c.index for c in chunks] == list(range(len(chunks)))
     total = sum(len(c.wav) for c in chunks)
     for c in chunks:
         assert np.isfinite(c.wav).all()
         assert c.t_emitted > 0
-    # duration ≈ decoded frames × hop (first chunk loses the vocoder
-    # fade-in trim; joints conserve samples by construction)
-    assert total > hop * 8, total
+    # length invariant (round-3 review fix): every chunk's wav is one frame
+    # short, recovered from the next chunk's context — the stream must
+    # total (N_frames − 1)·hop like the batch path, for N ≥ min_frames
+    assert total >= (40 - 1) * hop - 2 * hop, total
+
+    # regression (round-3 review): mid-stream chunks must NOT carry the
+    # end-of-utterance fade — the tail of a non-final chunk keeps the same
+    # energy scale as its body (a faded tail would sit near zero)
+    for c in chunks[:-1]:
+        if len(c.wav) > 3 * hop:
+            body_rms = float(np.sqrt(np.mean(c.wav ** 2))) + 1e-12
+            tail_rms = float(np.sqrt(np.mean(c.wav[-hop:] ** 2)))
+            assert tail_rms > 0.2 * body_rms, (tail_rms, body_rms)
+    # …and the FINAL chunk does fade to silence like the batch path
+    last = chunks[-1].wav
+    if len(last) > hop:
+        assert abs(last[-1]) < 1e-3
 
 
 def test_ramped_first_chunk(models):
