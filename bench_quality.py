@@ -92,7 +92,7 @@ def train_tiny_pipeline(root: Path):
     it = speaker_batch_iterator(ds, 2, 3, n_frames=80, prefetch=0, seed=0)
     train_encoder(
         "enc", it, models_dir, speakers_per_batch=2, utterances_per_speaker=3,
-        learning_rate=1e-3, total_steps=30, save_every=30, eer_every=0,
+        learning_rate=1e-3, total_steps=100, save_every=100, eer_every=0,
         model=enc_model,
     )
 

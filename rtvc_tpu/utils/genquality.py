@@ -145,8 +145,11 @@ def mel_cepstral_distortion(
     audio whose mel conditioned it, so the frames line up by construction).
 
     Standard MCD: cepstra = DCT-II(ortho) of the dB mel spectrum, c1..c13
-    (c0 = loudness excluded), MCD = (10/ln 10)·√2·mean‖Δc‖. The tracked
-    audio-quality number for BENCHMARKS.md (VERDICT r2 weak #6)."""
+    (c0 = loudness excluded), MCD = (10/ln 10)·√2·mean‖Δc‖ over frames
+    whose REFERENCE frame carries speech energy (silent frames sit on the
+    min_level_db floor where cepstral distance measures only floor noise —
+    standard MCD practice excludes them). The tracked audio-quality number
+    for BENCHMARKS.md (VERDICT r2 weak #6)."""
     from scipy.fft import dct
 
     from rtvc_tpu.ops.audio import melspectrogram
@@ -157,8 +160,13 @@ def mel_cepstral_distortion(
                                       sp, raw_pp))
     m_gen = np.asarray(melspectrogram(np.asarray(wav_gen[:n], np.float32),
                                       sp, raw_pp))
-    c_ref = dct(m_ref.T, type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
-    c_gen = dct(m_gen.T, type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
+    # voiced/active-frame gate: mean dB within 35 dB of the utterance peak
+    frame_db = m_ref.mean(axis=0)
+    active = frame_db > frame_db.max() - 35.0
+    if not active.any():
+        active = np.ones_like(active, dtype=bool)
+    c_ref = dct(m_ref.T[active], type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
+    c_gen = dct(m_gen.T[active], type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
     dist = np.sqrt(np.sum((c_ref - c_gen) ** 2, axis=1))
     return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(dist))
 
