@@ -91,10 +91,16 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
     from rtvc_tpu.inference import encoder, vocoder
     from rtvc_tpu.inference import vocoder as voc_mod
 
+    import threading
+
     sr = sp.sample_rate
     skw = dict(stream_kwargs or {})
     if "voc_config" not in skw and voc_mod._model is not None:
         skw["voc_config"] = voc_mod._model.config
+    # One model section at a time: the inference singletons keep mutable
+    # state (vocoder seed counter) and a single device serves one stream
+    # best; concurrent requests queue here instead of interleaving.
+    model_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
         # chunked transfer coding requires HTTP/1.1 — the BaseHTTPRequestHandler
@@ -147,41 +153,44 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
                 if url.path == "/embed":
-                    emb = self._embed_from_body()
+                    with model_lock:
+                        emb = self._embed_from_body()
                     self._json({"embed": [float(v) for v in emb]})
                 elif url.path == "/clone":
                     text = (q.get("text") or [""])[0]
                     if not text:
                         return self._json({"error": "missing ?text="}, 400)
-                    emb = self._embed_from_body()
-                    [mel] = synth.synthesize_spectrograms([text], [emb])
-                    wav = vocoder.infer_waveform(mel)
+                    with model_lock:
+                        emb = self._embed_from_body()
+                        [mel] = synth.synthesize_spectrograms([text], [emb])
+                        wav = vocoder.infer_waveform(mel)
                     self._audio(wav)
                 elif url.path == "/stream":
                     text = (q.get("text") or [""])[0]
                     if not text:
                         return self._json({"error": "missing ?text="}, 400)
-                    emb = self._embed_from_body()
                     from rtvc_tpu.inference.streaming import stream_clone
 
-                    self.send_response(200)
-                    self.send_header("Content-Type", "audio/wav")
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
-                    streaming_started = True
+                    with model_lock:
+                        emb = self._embed_from_body()
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Transfer-Encoding", "chunked")
+                        self.end_headers()
+                        streaming_started = True
 
-                    def chunk_out(data: bytes):
-                        self.wfile.write(b"%x\r\n" % len(data))
-                        self.wfile.write(data)
-                        self.wfile.write(b"\r\n")
+                        def chunk_out(data: bytes):
+                            self.wfile.write(b"%x\r\n" % len(data))
+                            self.wfile.write(data)
+                            self.wfile.write(b"\r\n")
 
-                    chunk_out(_streaming_wav_header(sr))
-                    m = voc_mod._model
-                    for piece in stream_clone(
-                        synth, m.variables, m.dims, text, emb, **skw
-                    ):
-                        if len(piece.wav):
-                            chunk_out(_pcm16(piece.wav))
+                        chunk_out(_streaming_wav_header(sr))
+                        m = voc_mod._model
+                        for piece in stream_clone(
+                            synth, m.variables, m.dims, text, emb, **skw
+                        ):
+                            if len(piece.wav):
+                                chunk_out(_pcm16(piece.wav))
                     self.wfile.write(b"0\r\n\r\n")
                 else:
                     self.send_error(404)
