@@ -54,6 +54,44 @@ def _cached_encode(d):
     return _encode
 
 
+@functools.lru_cache(maxsize=16)
+def _make_post_vocode(d_syn, voc_dims, post_ctx: int, voc_ctx: int,
+                      chunk_frames: int, voc_target: int, voc_overlap: int,
+                      mu_law: bool, apply_preemphasis: bool, compute_dtype,
+                      use_pallas: bool, stream_dtype, max_abs: float):
+    """One jitted device chain per chunk shape: postnet over
+    [raw context | chunk] → slice → concat vocoder context → the full
+    WaveRNN generate pipeline. Keeping postnet+vocode in a single dispatch
+    (and the context buffers on device) removes two host round-trips per
+    chunk — through a remote runtime that is most of the steady-state
+    chunk cadence."""
+    from rtvc_tpu.models import tacotron as taco
+    from rtvc_tpu.models.wavernn import _generate_pipeline
+
+    @jax.jit
+    def run(syn_variables, voc_variables, raw_hist, mel_chunk, post_hist,
+            key):
+        # (n_mels, post_ctx) ++ (n_mels, chunk) → postnet window
+        win = jnp.concatenate([raw_hist, mel_chunk[0]], axis=1)[None]
+        lin, _ = taco._postnet(syn_variables, d_syn, win, False, None)
+        post = jnp.swapaxes(lin, 1, 2)[0]
+        post_chunk = post[:, post_ctx:]
+        cond = jnp.concatenate([post_hist, post_chunk], axis=1)
+        wav = _generate_pipeline(
+            voc_variables, voc_dims, cond[None] / max_abs, key,
+            True, voc_target, voc_overlap, mu_law, apply_preemphasis,
+            compute_dtype, use_pallas, stream_dtype,
+        )
+        w = post_ctx + chunk_frames
+        new_raw = jnp.concatenate([raw_hist, mel_chunk[0]], axis=1)[
+            :, w - post_ctx :
+        ]
+        new_post = cond[:, cond.shape[1] - voc_ctx :]
+        return wav, new_raw, new_post
+
+    return run
+
+
 @dataclass
 class StreamChunk:
     wav: np.ndarray          # float64 samples, crossfaded, ready to play
@@ -156,7 +194,6 @@ def stream_clone(
     from rtvc_tpu.config import preprocessing, sp as _sp
     from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
     from rtvc_tpu.models import tacotron as taco
-    from rtvc_tpu.models.wavernn import wavernn_generate
     from rtvc_tpu.text import text_to_sequence
 
     d = synth._model.dims
@@ -200,75 +237,68 @@ def stream_clone(
                                             pad_value=pad_value)
     else:
         first_iters, first_decoder = chunk_iters, steady_decoder
-    postnet = synth._postnet_jit
-
     carry = taco.init_decoder_carry(d, 1, chars.shape[1])
     prev = jnp.zeros((1, d.n_mels))
     done = jnp.asarray(False)
 
-    raw_hist = np.zeros((d.n_mels, 0), np.float32)    # decoder-mel history
-    post_hist = np.zeros((d.n_mels, 0), np.float32)   # postnet-mel history
+    def _post_vocode(n_frames):
+        return _make_post_vocode(
+            d, voc_dims, post_ctx, voc_ctx, n_frames, voc_target,
+            voc_overlap, bool(mu_law), bool(apply_preemphasis),
+            compute_dtype, bool(use_pallas), stream_dtype,
+            float(_sp.max_abs_value),
+        )
+
+    # Context buffers live ON DEVICE (initialized to the silence pad) —
+    # chunk postnet+vocode run as one dispatch with no host round-trip.
+    raw_hist = jnp.full((d.n_mels, post_ctx), pad_value, jnp.float32)
+    post_hist = jnp.full((d.n_mels, voc_ctx), pad_value, jnp.float32)
     tail: Optional[np.ndarray] = None                 # xfade reservoir
     xfade = xfade_frames * hop
     start_i, index = 0, 0
 
+    pending = first_decoder(
+        variables, carry, prev, done, jnp.asarray(0),
+        enc_seq, enc_proj, char_mask, k_dec,
+    )
     while start_i < max_iters:
-        decode_chunk, n_iters = (
-            (first_decoder, first_iters) if index == 0
-            else (steady_decoder, chunk_iters)
-        )
-        mel_chunk, carry, prev, done, valid = decode_chunk(
-            variables, carry, prev, done, jnp.asarray(start_i),
-            enc_seq, enc_proj, char_mask, k_dec,
-        )
-        valid_frames = int(valid) * r
+        n_iters = first_iters if index == 0 else chunk_iters
+        n_frames = n_iters * r
+        mel_chunk, carry, prev, done, valid = pending
+        valid_frames = int(valid) * r  # scalar sync (waits for the decode)
         is_final = bool(done) or start_i + n_iters >= max_iters
         if valid_frames == 0:
             break
-        raw = np.asarray(mel_chunk)[0][:, :valid_frames]
 
-        # Postnet over [left context | chunk]; keep only the chunk part.
-        # Window padded to the chunk+ctx size so the set of compiled
-        # postnet shapes stays at one.
-        ctx = raw_hist[:, raw_hist.shape[1] - post_ctx :]
-        n_ctx = ctx.shape[1]
-        win = np.full((1, d.n_mels, post_ctx + chunk_frames),
-                      pad_value, np.float32)
-        win[0, :, post_ctx - n_ctx : post_ctx] = ctx
-        win[0, :, post_ctx : post_ctx + valid_frames] = raw
-        post = np.asarray(postnet(variables, jnp.asarray(win)))[0]
-        post_chunk = post[:, post_ctx : post_ctx + valid_frames]
-        raw_hist = np.concatenate([raw_hist, raw], axis=1)
-        raw_hist = raw_hist[:, raw_hist.shape[1] - post_ctx :]
-
-        # Vocode [voc context | chunk] so the AR state warms up before the
-        # splice; drop the context samples, crossfade into the reservoir.
-        vctx = post_hist[:, post_hist.shape[1] - voc_ctx :]
-        n_vctx = vctx.shape[1]
-        cond = np.concatenate([vctx, post_chunk], axis=1)
-        post_hist = np.concatenate([post_hist, post_chunk], axis=1)
-        post_hist = post_hist[:, post_hist.shape[1] - voc_ctx :]
-
-        wav = wavernn_generate(
-            voc_variables, voc_dims, cond / _sp.max_abs_value,
+        wav_dev, raw_hist, post_hist = _post_vocode(n_frames)(
+            variables, voc_variables, raw_hist, mel_chunk, post_hist,
             jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), index),
-            batched=True, target=voc_target, overlap=voc_overlap,
-            use_pallas=use_pallas, stream_dtype=stream_dtype,
-            mu_law=mu_law, apply_preemphasis=apply_preemphasis,
-            compute_dtype=compute_dtype,
-            # mid-stream chunks must NOT carry the end-of-utterance fade —
-            # it would dip the audio to silence at every join; the final
-            # chunk gets its fade below
-            fade_out=False,
         )
-        wav = np.asarray(wav)
+        # Pipeline: dispatch the NEXT chunk's decode before transferring
+        # this chunk's audio — the transfer overlaps the decode on device.
+        if not is_final:
+            pending = steady_decoder(
+                variables, carry, prev, done, jnp.asarray(start_i + n_iters),
+                enc_seq, enc_proj, char_mask, k_dec,
+            )
+        # the generate pipeline's raw output covers (W−1)·hop samples for a
+        # W-frame window (wavernn_generate's trim, done here host-side)
+        W = voc_ctx + n_frames
+        wav = np.asarray(wav_dev)[: (W - 1) * hop]
+
         # Alignment: a window of F conditioning frames decodes (F−1)·hop
         # samples, so each chunk's wav ends one frame short; the NEXT
-        # chunk's context re-decodes that boundary frame. Cutting at
-        # (n_vctx − 1)·hop (not n_vctx·hop) recovers it — total stream
-        # length then matches the batch clone's (Σvalid − 1)·hop.
-        cut = max((n_vctx - 1) * hop - xfade, 0) if n_vctx else 0
-        body = wav[cut:]
+        # chunk's context re-decodes that boundary frame (cut at
+        # (voc_ctx − 1)·hop, not voc_ctx·hop) — total stream length then
+        # matches the batch clone's (Σvalid − 1)·hop. The FIRST chunk's
+        # context is silence padding: cut all of it.
+        if index == 0 or voc_ctx == 0:
+            cut = voc_ctx * hop
+            end = (voc_ctx + valid_frames - 1) * hop
+        else:
+            cut = max((voc_ctx - 1) * hop - xfade, 0)
+            end = (voc_ctx - 1 + valid_frames) * hop
+        body = wav[cut:end]
         if tail is not None and xfade and len(body) >= xfade:
             ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, xfade)) ** 2
             body = body.copy()
