@@ -88,6 +88,20 @@ def test_clone_returns_wav(server):
         assert w.getnframes() > 0
 
 
+def test_garbage_body_is_500_json_and_server_survives(server):
+    """Malformed WAV bodies must produce a JSON 500, not kill the worker;
+    the server keeps answering afterwards."""
+    for body in (b"", b"not a wav at all", b"RIFF\x00\x00"):
+        try:
+            _post(server + "/embed", body)
+            raise AssertionError("expected HTTP 500")
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+            assert "error" in json.loads(e.read())
+    with urllib.request.urlopen(server + "/health", timeout=60) as r:
+        assert json.loads(r.read())["status"] == "ok"
+
+
 def test_clone_without_text_is_400(server):
     try:
         _post(server + "/clone", _prompt_wav_bytes())
