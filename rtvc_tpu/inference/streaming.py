@@ -94,7 +94,7 @@ def _make_post_vocode(d_syn, voc_dims, post_ctx: int, voc_ctx: int,
 
 @dataclass
 class StreamChunk:
-    wav: np.ndarray          # float64 samples, crossfaded, ready to play
+    wav: np.ndarray          # float32 samples, crossfaded, ready to play
     index: int               # chunk number, 0-based
     final: bool              # True on the last chunk
     t_emitted: float         # time.perf_counter() when this chunk was ready
@@ -206,9 +206,14 @@ def stream_clone(
     hop = voc_dims.hop_length
     if use_pallas is None:
         use_pallas = jax.devices()[0].platform == "tpu"
-    # decode flags follow the vocoder checkpoint, like infer_waveform does
+    # decode flags follow the vocoder checkpoint, like infer_waveform does;
+    # mu-law only ever applies to the RAW categorical mode (the same guard
+    # wavernn_generate applies — MOL/BITS outputs are already continuous)
+    from rtvc_tpu.models.wavernn import MODE_RAW
+
     if mu_law is None:
         mu_law = getattr(voc_config, "mu_law", True)
+    mu_law = bool(mu_law) and voc_dims.mode == MODE_RAW
     if apply_preemphasis is None:
         apply_preemphasis = _sp.preemphasize
     pad_value = -float(_sp.max_abs_value)

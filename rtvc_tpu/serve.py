@@ -12,7 +12,7 @@ Endpoints (all reads/writes are audio bytes or JSON — no filesystem):
   * ``POST /clone?text=...``    body = WAV prompt → WAV clone (batch path)
   * ``POST /stream?text=...``   body = WAV prompt → chunked-transfer WAV:
     the header is written immediately and 16-bit PCM chunks follow as the
-    streaming clone produces them (first audio ~233 ms after the request
+    streaming clone produces them (first audio ~162 ms after the request
     device-side warm; see docs/SERVING.md) — a player can start as soon
     as bytes arrive.
 
@@ -100,6 +100,9 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
     # One model section at a time: the inference singletons keep mutable
     # state (vocoder seed counter) and a single device serves one stream
     # best; concurrent requests queue here instead of interleaving.
+    # CRITICAL scope rule (review r3): client socket I/O must happen
+    # OUTSIDE the lock — a slow uploader or a client consuming a stream at
+    # playback speed would otherwise wedge every model endpoint.
     model_lock = threading.Lock()
 
     class Handler(BaseHTTPRequestHandler):
@@ -107,6 +110,8 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
         # default (HTTP/1.0) makes conforming clients ignore Transfer-Encoding
         # and read chunk-size framing as audio bytes
         protocol_version = "HTTP/1.1"
+        # bound socket reads/writes so a stalled client can't pin a worker
+        timeout = 120
 
         def log_message(self, *a):  # quiet
             pass
@@ -131,8 +136,8 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
             n = int(self.headers.get("Content-Length", 0))
             return self.rfile.read(n)
 
-        def _embed_from_body(self):
-            wav, in_sr = _parse_wav(self._read_body())
+        def _embed_from_wav(self, body: bytes):
+            wav, in_sr = _parse_wav(body)
             pre = encoder.preprocess_wav(wav, source_sr=in_sr)
             return encoder.embed_utterance(pre)
 
@@ -153,15 +158,17 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                 url = urlparse(self.path)
                 q = parse_qs(url.query)
                 if url.path == "/embed":
+                    body = self._read_body()  # socket read OUTSIDE the lock
                     with model_lock:
-                        emb = self._embed_from_body()
+                        emb = self._embed_from_wav(body)
                     self._json({"embed": [float(v) for v in emb]})
                 elif url.path == "/clone":
                     text = (q.get("text") or [""])[0]
                     if not text:
                         return self._json({"error": "missing ?text="}, 400)
+                    body = self._read_body()
                     with model_lock:
-                        emb = self._embed_from_body()
+                        emb = self._embed_from_wav(body)
                         [mel] = synth.synthesize_spectrograms([text], [emb])
                         wav = vocoder.infer_waveform(mel)
                     self._audio(wav)
@@ -171,26 +178,35 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                         return self._json({"error": "missing ?text="}, 400)
                     from rtvc_tpu.inference.streaming import stream_clone
 
+                    body = self._read_body()
                     with model_lock:
-                        emb = self._embed_from_body()
-                        self.send_response(200)
-                        self.send_header("Content-Type", "audio/wav")
-                        self.send_header("Transfer-Encoding", "chunked")
-                        self.end_headers()
-                        streaming_started = True
+                        emb = self._embed_from_wav(body)
+                    self.send_response(200)
+                    self.send_header("Content-Type", "audio/wav")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    streaming_started = True
 
-                        def chunk_out(data: bytes):
-                            self.wfile.write(b"%x\r\n" % len(data))
-                            self.wfile.write(data)
-                            self.wfile.write(b"\r\n")
+                    def chunk_out(data: bytes):
+                        self.wfile.write(b"%x\r\n" % len(data))
+                        self.wfile.write(data)
+                        self.wfile.write(b"\r\n")
 
-                        chunk_out(_streaming_wav_header(sr))
-                        m = voc_mod._model
-                        for piece in stream_clone(
-                            synth, m.variables, m.dims, text, emb, **skw
-                        ):
-                            if len(piece.wav):
-                                chunk_out(_pcm16(piece.wav))
+                    chunk_out(_streaming_wav_header(sr))
+                    m = voc_mod._model
+                    gen = stream_clone(
+                        synth, m.variables, m.dims, text, emb, **skw
+                    )
+                    while True:
+                        # lock held per chunk (device work only); the
+                        # chunked write to the client happens unlocked so
+                        # a slow consumer never starves other requests
+                        with model_lock:
+                            piece = next(gen, None)
+                        if piece is None:
+                            break
+                        if len(piece.wav):
+                            chunk_out(_pcm16(piece.wav))
                     self.wfile.write(b"0\r\n\r\n")
                 else:
                     self.send_error(404)
