@@ -113,6 +113,42 @@ def test_ramped_first_chunk(models):
         assert np.isfinite(c.wav).all()
 
 
+def test_mol_checkpoint_streams_without_mulaw(models, monkeypatch):
+    """Regression (round-3 review): a MOL vocoder with the config default
+    mu_law=True must NOT get mu-law decode applied to its continuous
+    samples — the mode guard mirrors wavernn_generate's. Asserted by
+    spying on the mu_law flag handed to the jitted chunk chain."""
+    import rtvc_tpu.inference.streaming as st
+
+    synth, _ = models
+    voc_cfg = WaveRNNParams(
+        mode="MOL", rnn_dims=32, fc_dims=32, compute_dims=16,
+        res_out_dims=32, res_blocks=2,  # mu_law stays the default True
+    )
+    voc = factories.init_voc_model(
+        factories.MODEL_TYPE_RUNTIMERACER, seed=0, override_hp=voc_cfg
+    )
+    assert voc.config.mu_law is True  # the trap the guard must defuse
+
+    captured = []
+    orig = st._make_post_vocode
+
+    def spy(*args, **kwargs):
+        captured.append(args[7] if len(args) > 7 else kwargs["mu_law"])
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(st, "_make_post_vocode", spy)
+    chunks = list(stream_clone(
+        synth, voc.variables, voc.dims, TEXT, _embed(), seed=2,
+        chunk_frames=8, post_ctx=8, voc_ctx=4, voc_target=300,
+        voc_overlap=100, use_pallas=False, min_frames=24,
+        voc_config=voc.config,
+    ))
+    assert captured and all(m is False for m in captured)
+    wav = np.concatenate([c.wav for c in chunks])
+    assert np.isfinite(wav).all() and len(wav) > 0
+
+
 def test_streamed_raw_decode_matches_batch(models):
     """Same seed → the chunked decoder walks the exact trajectory of the
     batch while_loop (state carry + RNG folding are equivalence-critical)."""
