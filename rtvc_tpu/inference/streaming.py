@@ -183,9 +183,11 @@ def stream_clone(
     (``rtvc_tpu.inference.vocoder._model``).
 
     ``first_chunk_frames``: a smaller opening chunk ramps the stream —
-    time-to-first-audio scales with the first chunk's decode+vocode, so
-    e.g. 16 (→ 0.2 s of audio) roughly halves TTFA while later chunks run
-    at the steady-state size (one extra compiled decoder graph).
+    the first chunk's decode+vocode device time shrinks proportionally
+    (e.g. 16 → 0.2 s of audio) while later chunks run at the steady-state
+    size (one extra compiled decoder graph). Through a remote relay the
+    gain sits inside dispatch-latency noise; it pays on attached hardware
+    (docs/SERVING.md honesty note).
 
     ``mu_law``/``apply_preemphasis`` default from ``voc_config`` (the
     vocoder bundle's WaveRNNParams — pass it so non-mu-law / non-preemph
