@@ -200,6 +200,11 @@ class batch_iterator:
                 f"global batch {batch_size} must divide by process_count "
                 f"{process_count}"
             )
+        if process_count > 1 and not drop_last:
+            # the trailing short batch would yield ragged/empty local shards
+            # across processes, which make_array_from_process_local_data
+            # rejects (or the collective hangs)
+            raise ValueError("process_count > 1 requires drop_last=True")
         self.process_index = process_index
         self.process_count = process_count
         self.local = batch_size // process_count

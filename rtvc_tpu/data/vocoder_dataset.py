@@ -145,6 +145,10 @@ class batch_iterator:
                 f"global batch {batch_size} must divide by process_count "
                 f"{process_count}"
             )
+        if process_count > 1 and not drop_last:
+            # a trailing short batch shards raggedly across processes and
+            # make_array_from_process_local_data rejects mismatched locals
+            raise ValueError("process_count > 1 requires drop_last=True")
         local = batch_size // process_count
         order = np.arange(len(dataset))
         if shuffle:

@@ -220,7 +220,14 @@ def stream_clone(
         apply_preemphasis = _sp.preemphasize
     pad_value = -float(_sp.max_abs_value)
     post_ctx = max(post_ctx, 0)
-    voc_ctx = max(voc_ctx, 0)
+    xfade_frames = max(xfade_frames, 0)
+    # voc_ctx must be >= 1 + xfade_frames: a W-frame window decodes
+    # (W-1)·hop samples, so each chunk's final frame is re-decoded by the
+    # next chunk's context (1 frame), and the equal-power crossfade needs
+    # its lead-in inside the context ((voc_ctx-1)·hop >= xfade). Below
+    # that, the cut clamp silently drops samples at every join and the
+    # stream runs short of the batch path's (Σvalid − 1)·hop invariant.
+    voc_ctx = max(voc_ctx, 1 + xfade_frames)
 
     seq = text_to_sequence(text.strip(), preprocessing.cleaner_names)
     bucket_len = -(-len(seq) // _CHAR_BUCKET) * _CHAR_BUCKET
@@ -299,7 +306,7 @@ def stream_clone(
         # (voc_ctx − 1)·hop, not voc_ctx·hop) — total stream length then
         # matches the batch clone's (Σvalid − 1)·hop. The FIRST chunk's
         # context is silence padding: cut all of it.
-        if index == 0 or voc_ctx == 0:
+        if index == 0:
             cut = voc_ctx * hop
             end = (voc_ctx + valid_frames - 1) * hop
         else:

@@ -63,9 +63,13 @@ def initialize(
 
     platforms = (os.environ.get("JAX_PLATFORMS")
                  or getattr(jax.config, "jax_platforms", None) or "")
-    if "cpu" in platforms:
+    if not platforms or "cpu" in platforms:
         # cross-process collectives on the CPU client need gloo (the
-        # default intra-process implementation cannot reach peer hosts)
+        # default intra-process implementation cannot reach peer hosts).
+        # Selected whenever the CPU client may serve collectives: platforms
+        # unset (stock CPU-only install resolves to cpu) or explicitly
+        # listing cpu. The setting is lazy — on a real TPU slice the TPU
+        # client carries the collectives and this is inert.
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

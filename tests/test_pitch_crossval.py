@@ -84,10 +84,55 @@ def dio_like_f0(wav, sr, hop, fmin=60.0, fmax=600.0):
     # contour consistency and pyworld users follow with StoneMask
     # refinement; without this the bare oracle octave-slips UP on high
     # female F0 (measured: ~500 Hz picks against a 230 Hz contour on
-    # p240). Reuse the tracker's own published post-pass for symmetry.
-    from rtvc_tpu.ops.pitch import _smooth_octaves
+    # p240). Deliberately INDEPENDENT of the tracker's _smooth_octaves
+    # (sharing the post-pass would make the gate self-referential — a
+    # regression there would distort both contours identically): a global
+    # Viterbi over per-frame octave candidates, nothing local/iterative.
+    return _octave_viterbi(best_f0, fmin, fmax)
 
-    return _smooth_octaves(best_f0, fmin, fmax)
+
+def _octave_viterbi(f0, fmin, fmax, shift_cost=0.45, max_gap=8,
+                    prior_w=2.0):
+    """Oracle-only octave correction: per voiced frame the candidates are
+    {f/2, f, 2f}; a Viterbi pass picks the contour minimizing octave-shift
+    unary costs plus |Δlog2 F0| between nearby voiced frames (DIO's
+    contour-consistency scoring, as a global DP rather than the tracker's
+    widening-window snap — a different algorithm on purpose). A speaker
+    prior penalizes candidates beyond half an octave from the utterance
+    voiced median — runs of slips at voicing onsets have no neighbor to
+    anchor the transition cost, so the prior carries them."""
+    f0 = np.asarray(f0, np.float64).copy()
+    voiced_idx = np.where(f0 > 0)[0]
+    if len(voiced_idx) < 2:
+        return f0
+    factors = np.array([0.5, 1.0, 2.0])
+    cands = f0[voiced_idx, None] * factors[None, :]
+    valid = (cands >= fmin) & (cands <= fmax)
+    m = float(np.median(f0[voiced_idx]))
+    prior = prior_w * np.maximum(
+        np.abs(np.log2(np.maximum(cands, 1e-9) / m)) - 0.5, 0.0
+    )
+    unary = (
+        np.where(factors[None, :] == 1.0, 0.0, shift_cost)
+        + prior
+        + np.where(valid, 0.0, 1e6)
+    )
+    logc = np.log2(np.maximum(cands, 1e-9))
+    n, k = cands.shape
+    cost = unary[0].copy()
+    back = np.zeros((n, k), np.int64)
+    for i in range(1, n):
+        gap = voiced_idx[i] - voiced_idx[i - 1]
+        w = 1.0 / gap if gap <= max_gap else 0.0  # detached across long gaps
+        trans = w * np.abs(logc[i][None, :] - logc[i - 1][:, None])
+        tot = cost[:, None] + trans
+        back[i] = np.argmin(tot, axis=0)
+        cost = tot[back[i], np.arange(k)] + unary[i]
+    j = int(np.argmin(cost))
+    for i in range(n - 1, -1, -1):
+        f0[voiced_idx[i]] = cands[i, j]
+        j = back[i, j]
+    return f0
 
 
 def _compare(ours, oracle, min_voiced=10):
@@ -191,7 +236,8 @@ class TestDioCrossValidation:
         # transitions); Fine Pitch Error = RMSE over the remaining frames.
         # Round-3 gate: GPE < 10 % (production-tracker territory — the
         # reference's pyworld DIO sits ~5-10 % on clean speech; measured
-        # here 3.2 % / 4.2 % after the octave post-pass) and FPE < 10 Hz.
+        # here 3.9 % / 6.3 % against the independent Viterbi-smoothed
+        # oracle) and FPE < 10 Hz.
         dev = np.abs(ours[both] - oracle[both]) / oracle[both]
         gpe = float((dev > 0.2).mean())
         fine = dev <= 0.2

@@ -93,6 +93,27 @@ def test_stream_chunks_contiguous_and_sized(models):
         assert abs(last[-1]) < 1e-3
 
 
+def test_voc_ctx_clamped_to_cover_boundary_and_xfade(models):
+    """Regression (round-3 advisor): voc_ctx=0 used to route every chunk
+    through the first-chunk trim branch, dropping one hop per chunk. The
+    clamp voc_ctx >= 1 + xfade_frames keeps the (Σvalid − 1)·hop length
+    invariant for any requested context."""
+    synth, voc = models
+    hop = voc.dims.hop_length
+    for voc_ctx, xfade in ((0, 2), (0, 0), (1, 2)):
+        chunks = list(stream_clone(
+            synth, voc.variables, voc.dims, TEXT, _embed(), seed=1,
+            chunk_frames=8, post_ctx=8, voc_ctx=voc_ctx,
+            xfade_frames=xfade, voc_target=300, voc_overlap=100,
+            use_pallas=False, min_frames=40,
+        ))
+        assert chunks[-1].final
+        total = sum(len(c.wav) for c in chunks)
+        # ≥ min_frames decoded → stream must carry (N−1)·hop samples; a
+        # per-chunk hop (or xfade) loss would fall far below this
+        assert total >= (40 - 1) * hop, (voc_ctx, xfade, total)
+
+
 def test_ramped_first_chunk(models):
     """first_chunk_frames yields a smaller opening chunk (the TTFA lever)
     while keeping the stream contiguous and final."""
