@@ -62,7 +62,12 @@ def main():
     # samples/p240_00000.mp3 (decoded via libmpg123); a synthetic 5 s prompt
     # is the fallback when the corpus is absent.
     encoder.init_random_model(seed=0)
-    sample_fpath = Path("/root/reference/samples/p240_00000.mp3")
+    try:
+        from rtvc_tpu.utils.io import sample_path
+
+        sample_fpath = sample_path("p240_00000.mp3")
+    except FileNotFoundError:
+        sample_fpath = Path("/nonexistent/p240_00000.mp3")
     try:
         from rtvc_tpu.utils.io import load_wav
 

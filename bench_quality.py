@@ -228,7 +228,12 @@ def main():
         voc_api.load_model(models_dir / "voc" / "voc.ckpt", verbose=False)
         voc_api.set_seed(7)
 
-        prompt_path = Path("/root/reference/samples/p240_00000.mp3")
+        try:
+            from rtvc_tpu.utils.io import sample_path
+
+            prompt_path = sample_path("p240_00000.mp3")
+        except FileNotFoundError:
+            prompt_path = Path("/nonexistent")
         if prompt_path.exists():
             try:
                 prompt_wav = enc_api.preprocess_wav(prompt_path)

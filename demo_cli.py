@@ -73,17 +73,28 @@ def config_test(args):
             print("mp3 support: NOT available — pass wav files only "
                   "(or install libmpg123)")
 
-    if args.enc_model_fpath.exists():
+    from rtvc_tpu.utils import modelutils
+
+    missing = modelutils.missing_models(
+        args.enc_model_fpath, args.syn_model_fpath, args.voc_model_fpath
+    )
+    if not missing:
         encoder.load_model(args.enc_model_fpath)
         synth = synthesizer.Synthesizer(args.syn_model_fpath)
         synth.load()
         vocoder.load_model(args.voc_model_fpath, voc_type=args.voc_backend)
-    else:
-        print(
-            "No trained models found at %s — using random weights for the "
-            "self-test." % args.enc_model_fpath
-        )
+    elif len(missing) == 3:
+        # no models at all: print the training guidance (ref
+        # check_model_paths contract, utils/modelutils.py:3-24), then keep
+        # the self-test alive on random weights — it exercises the full
+        # pipeline without checkpoints
+        modelutils.model_files_missing(missing)
+        print("Continuing with RANDOM weights for the self-test.\n")
         synth = build_models_for_selftest()
+    else:
+        # a partial install is a user error — name exactly what's missing
+        modelutils.model_files_missing(missing)
+        sys.exit(1)
 
     print("Testing the encoder...")
     embed = encoder.embed_utterance(np.zeros(encoder._data.sampling_rate))

@@ -1,8 +1,9 @@
 """Data-parallel dry-run stages for every trainable model family.
 
 One DP train step per stage — encoder GE2E (global similarity-matrix
-semantics), Tacotron, ForwardTacotron, WaveRNN with an in-loop pruning-mask
-update — plus a sharded checkpoint save→restore→step roundtrip. Used by
+semantics), Tacotron, ForwardTacotron, FastPitch, WaveRNN with an in-loop
+pruning-mask update — plus a sharded checkpoint save→restore→step
+roundtrip. Used by
 
   * ``__graft_entry__.dryrun_multichip`` (the driver's multi-chip
     compile+execute validation on N virtual devices), and
@@ -192,7 +193,66 @@ def forward_tacotron_stage(mesh=None, steps: int = 1,
 
 
 # ---------------------------------------------------------------------------
-# Stage 4: WaveRNN with in-loop pruning-mask update
+# Stage 4: FastPitch (transformer NAR)
+# ---------------------------------------------------------------------------
+
+
+def fastpitch_stage(mesh=None, steps: int = 1,
+                    n_devices_batch: int = 8) -> Tuple[float, dict]:
+    """FastPitch DP step — the repo's beyond-reference trainable (the
+    reference ships the model unwired, ref: synthesizer/models/base.py:9-10,
+    config/hparams.py:215-217) held to the same DP-evidence bar as the
+    other four stages."""
+    import jax
+    import optax
+
+    from rtvc_tpu.config.synthesizer import FastPitchParams
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.train.steps import make_nar_synth_train_step
+
+    cfg = FastPitchParams(
+        embed_dims=16, n_heads=2, conv_kernel=3, conv_dims=32,
+        n_layers_enc=2, n_layers_dec=2,
+        series_d_model=8, series_n_heads=1, series_layers=1, series_d_fft=16,
+    )
+    bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_FASTPITCH, seed=0, override_hp=cfg
+    )
+    optimizer = optax.adam(1e-3)
+    step_fn = make_nar_synth_train_step(
+        factories.MODEL_TYPE_FASTPITCH, bundle.dims, optimizer, cfg
+    )
+    B, T = n_devices_batch, 6
+    rng = np.random.default_rng(5)
+    dur = np.full((B, T), 2.0, np.float32)
+    L = int(dur[0].sum())
+    batch = {
+        "chars": rng.integers(1, 20, (B, T)).astype(np.int32),
+        "mels": rng.uniform(-4, 4, (B, 80, L)).astype(np.float32),
+        "embeds": rng.standard_normal((B, 768)).astype(np.float32),
+        "durations": dur,
+        "spec_lens": np.full((B,), L, np.int32),
+        "x_lens": np.full((B,), T, np.int32),
+        "pitch": rng.standard_normal((B, T)).astype(np.float32),
+        "energy": rng.standard_normal((B, T)).astype(np.float32),
+    }
+    params = bundle.variables["params"]
+    stats = bundle.variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    (params, stats, opt_state), batch = _maybe_shard(
+        mesh, [params, stats, opt_state], batch
+    )
+    loss = np.nan
+    for i in range(steps):
+        params, stats, opt_state, metrics = step_fn(
+            params, stats, opt_state, batch, jax.random.PRNGKey(13 + i)
+        )
+        loss = float(metrics["loss"])
+    return loss, params
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: WaveRNN with in-loop pruning-mask update
 # ---------------------------------------------------------------------------
 
 

@@ -240,7 +240,17 @@ def main():
     args = parser.parse_args()
 
     from rtvc_tpu.inference import encoder, synthesizer, vocoder
+    from rtvc_tpu.utils import modelutils
     from rtvc_tpu.utils.cache import enable_persistent_cache
+
+    # serving needs all three stages — fail with training guidance, not a
+    # load-time stack trace (ref check_model_paths, utils/modelutils.py:3-24)
+    still_missing = modelutils.missing_models(
+        args.enc_model_fpath, args.syn_model_fpath, args.voc_model_fpath
+    )
+    if still_missing:
+        modelutils.model_files_missing(still_missing)
+        raise SystemExit(-1)
 
     enable_persistent_cache()
     encoder.load_model(args.enc_model_fpath)

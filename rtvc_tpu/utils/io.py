@@ -88,6 +88,27 @@ def load_wav(
     return wav.astype(np.float32), int(sr)
 
 
+def sample_path(name: str) -> Path:
+    """Resolve a test/bench audio fixture by filename.
+
+    Prefers the in-repo ``samples/`` mirror (CC BY 4.0, see
+    samples/README.md — the reference ships the same utterances "for
+    toolbox testing and benchmarking", ref samples/README.md:1-5), falling
+    back to the upstream reference tree when the repo copy lacks the file.
+    Raises FileNotFoundError naming both locations otherwise."""
+    candidates = [
+        Path(__file__).resolve().parents[2] / "samples" / name,
+        Path("/root/reference/samples") / name,
+    ]
+    for c in candidates:
+        if c.is_file():
+            return c
+    raise FileNotFoundError(
+        f"audio fixture {name!r} not found in any of: "
+        + ", ".join(str(c.parent) for c in candidates)
+    )
+
+
 def save_wav(wav: np.ndarray, path: PathLike, sample_rate: int) -> None:
     """Peak-normalize to int16 and write (ref: synthesizer/audio.py:14-16)."""
     wav = np.asarray(wav, dtype=np.float32)

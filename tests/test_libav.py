@@ -107,8 +107,9 @@ class TestIoIntegration:
 
     def test_load_wav_reads_reference_mp3_sample(self):
         """The actual reference benchmark prompt (samples/*.mp3)."""
-        wav, sr = load_wav("/root/reference/samples/p240_00000.mp3",
-                           target_sr=16000)
+        from rtvc_tpu.utils.io import sample_path
+
+        wav, sr = load_wav(sample_path("p240_00000.mp3"), target_sr=16000)
         assert sr == 16000 and len(wav) > 16000
         assert float(np.abs(wav).max()) <= 1.0
 

@@ -221,9 +221,12 @@ class TestDioCrossValidation:
         RMSE < 10 Hz."""
         from rtvc_tpu.utils.io import load_wav
 
+        from rtvc_tpu.utils.io import sample_path
+
         try:
-            wav, sr = load_wav(f"/root/reference/samples/{sample}",
-                               target_sr=SR)
+            wav, sr = load_wav(sample_path(sample), target_sr=SR)
+        except FileNotFoundError:
+            pytest.skip(f"fixture {sample} unavailable")
         except Exception:
             pytest.skip("no mp3 decoder available")
         wav = wav[: 3 * SR]

@@ -24,8 +24,12 @@ SAMPLES = [
 def _load(sample):
     from rtvc_tpu.utils.io import load_wav
 
+    from rtvc_tpu.utils.io import sample_path
+
     try:
-        wav, _ = load_wav(f"/root/reference/samples/{sample}", target_sr=SR)
+        wav, _ = load_wav(sample_path(sample), target_sr=SR)
+    except FileNotFoundError:
+        pytest.skip(f"fixture {sample} not in repo samples/ or reference")
     except Exception:
         pytest.skip("no mp3 decoder available")
     peak = float(np.abs(wav).max())
