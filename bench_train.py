@@ -7,9 +7,15 @@ schedule entries) on a single chip. Each line carries the roofline columns
 (round 3): FLOPs/step from XLA's own cost model, achieved TFLOP/s, MFU vs
 the chip's bf16 peak, and bytes/s vs HBM bandwidth
 (rtvc_tpu/utils/roofline.py states the assumed peaks).
+
+Round 4 adds the mixed-precision ablation (``--dtype both`` benches each
+stage under the f32 AND bf16 compute policies — rtvc_tpu/ops/precision.py)
+and ``--sweep`` batch-size scaling curves (does HBM%% climb toward peak or
+plateau — the round-3 verdict's "prove the bound" instrument).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -17,6 +23,14 @@ import numpy as np
 
 
 def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dtype", choices=["f32", "bf16", "both"],
+                        default="both")
+    parser.add_argument("--sweep", action="store_true",
+                        help="batch-size scaling curves per stage")
+    parser.add_argument("--reps", type=int, default=5)
+    args = parser.parse_args()
+
     import jax
     import jax.numpy as jnp
     import optax
@@ -25,102 +39,154 @@ def main():
 
     enable_persistent_cache()
 
-    from rtvc_tpu.config import sp
-    from rtvc_tpu.config.encoder import EncoderModelParams
     from rtvc_tpu.models import factories
-    from rtvc_tpu.models.speaker_encoder import SpeakerEncoder, init_similarity_params
+    from rtvc_tpu.models.speaker_encoder import (
+        SpeakerEncoder,
+        init_similarity_params,
+    )
     from rtvc_tpu.train.steps import (
         make_encoder_train_step,
         make_tacotron_train_step,
         make_wavernn_train_step,
     )
-
     from rtvc_tpu.utils.roofline import summarize, xla_cost
 
     rng = np.random.default_rng(0)
     optimizer = optax.adam(1e-4)
+    N = args.reps
+    dtypes = {"f32": [jnp.float32], "bf16": [jnp.bfloat16],
+              "both": [jnp.float32, jnp.bfloat16]}[args.dtype]
+
+    def dt_name(dt):
+        return "bf16" if dt == jnp.bfloat16 else "f32"
+
+    def bench(metric, make_step_fn, run_step, batch_label, cost_args):
+        """make_step_fn(dtype) → step; run_step(step) → carried loop fn."""
+        for dt in dtypes:
+            step = make_step_fn(dt)
+            flops, bts = xla_cost(step, *cost_args)
+            carry = run_step(step)     # warm (compile + 1 step)
+            t0 = time.perf_counter()
+            for _ in range(N):
+                carry = run_step(step, carry)
+            dtm = (time.perf_counter() - t0) / N
+            print(json.dumps({
+                "metric": metric, "value": round(1.0 / dtm, 3),
+                "unit": "steps/s", "batch": batch_label, "dtype": dt_name(dt),
+                **summarize(flops, dtm, bts),
+            }), flush=True)
 
     # ---- encoder: 64 spk × 10 utt × 160 frames ------------------------------
     model = SpeakerEncoder()
     S, U = 64, 10
-    batch = jnp.asarray(
+    ebatch = jnp.asarray(
         rng.standard_normal((S * U, 160, 40)).astype(np.float32)
     )
-    params = {
-        "model": model.init(jax.random.PRNGKey(0), batch)["params"],
+    eparams = {
+        "model": model.init(jax.random.PRNGKey(0), ebatch)["params"],
         "similarity": init_similarity_params(),
     }
-    opt_state = optimizer.init(params)
-    step = make_encoder_train_step(model, optimizer, S, U)
 
-    def enc_step(p, o):
-        p, o, stats, _, _ = step(p, o, batch)
-        return p, o, stats
+    def enc_run(step, carry=None):
+        if carry is None:
+            carry = (jax.tree_util.tree_map(jnp.copy, eparams),
+                     optimizer.init(eparams))
+        p, o = carry
+        p, o, st, _, _ = step(p, o, ebatch)
+        float(st["loss"])
+        return (p, o)
 
-    # cost BEFORE the first run (the step donates its buffers)
-    enc_flops, enc_bytes = xla_cost(step, params, opt_state, batch)
-
-    # timing loop: carry params through and read the loss each step so the
-    # device work can't be elided
-    p, o = params, opt_state
-    p, o, st = enc_step(p, o)
-    float(st["loss"])
-    t0 = time.perf_counter()
-    N = 5
-    for _ in range(N):
-        p, o, st = enc_step(p, o)
-    float(st["loss"])
-    dt = (time.perf_counter() - t0) / N
-    print(json.dumps({"metric": "encoder_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{S}x{U}x160", **summarize(enc_flops, dt, enc_bytes)}), flush=True)
+    bench(
+        "encoder_train",
+        lambda dt: make_encoder_train_step(model, optimizer, S, U,
+                                           compute_dtype=dt),
+        enc_run, f"{S}x{U}x160",
+        (eparams, optimizer.init(eparams), ebatch),
+    )
 
     # ---- tacotron: first-session schedule (r=7, batch 112) ------------------
     bundle = factories.init_syn_model(factories.MODEL_TYPE_TACOTRON, seed=0)
     d = bundle.dims
-    r, B, T_text, frames = 7, 112, 160, 896  # 896 = 128·7 mel frames
-    tstep = make_tacotron_train_step(d, optimizer, r=r)
-    tbatch = {
-        "chars": jnp.asarray(rng.integers(1, d.num_chars, (B, T_text)), jnp.int32),
-        "mels": jnp.asarray(rng.uniform(-4, 4, (B, d.n_mels, frames)), jnp.float32),
-        "embeds": jnp.asarray(rng.standard_normal((B, 768)), jnp.float32),
-        "stop": jnp.ones((B, frames), jnp.float32),
-    }
-    tp, ts_ = bundle.variables["params"], bundle.variables["batch_stats"]
-    to = optimizer.init(tp)
     key = jax.random.PRNGKey(0)
-    t_flops, t_bytes = xla_cost(tstep, tp, ts_, to, tbatch, key)
-    tp, ts_, to, stats, _ = tstep(tp, ts_, to, tbatch, key)
-    float(stats["loss"])
-    t0 = time.perf_counter()
-    for _ in range(N):
-        tp, ts_, to, stats, _ = tstep(tp, ts_, to, tbatch, key)
-    float(stats["loss"])
-    dt = (time.perf_counter() - t0) / N
-    print(json.dumps({"metric": "tacotron_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{B}x{frames}f r={r}", **summarize(t_flops, dt, t_bytes)}), flush=True)
+
+    def taco_batch(B, frames=896, T_text=160):
+        return {
+            "chars": jnp.asarray(
+                rng.integers(1, d.num_chars, (B, T_text)), jnp.int32),
+            "mels": jnp.asarray(
+                rng.uniform(-4, 4, (B, d.n_mels, frames)), jnp.float32),
+            "embeds": jnp.asarray(
+                rng.standard_normal((B, 768)), jnp.float32),
+            "stop": jnp.ones((B, frames), jnp.float32),
+        }
+
+    def taco_bench(B, r=7):
+        tb = taco_batch(B)
+        tv = bundle.variables
+
+        def run(step, carry=None):
+            if carry is None:
+                carry = (jax.tree_util.tree_map(jnp.copy, tv["params"]),
+                         jax.tree_util.tree_map(jnp.copy, tv["batch_stats"]),
+                         optimizer.init(tv["params"]))
+            tp, ts_, to = carry
+            tp, ts_, to, st, _ = step(tp, ts_, to, tb, key)
+            float(st["loss"])
+            return (tp, ts_, to)
+
+        bench(
+            "tacotron_train",
+            lambda dt: make_tacotron_train_step(d, optimizer, r=r,
+                                                compute_dtype=dt),
+            run, f"{B}x896f r={r}",
+            (tv["params"], tv["batch_stats"], optimizer.init(tv["params"]),
+             tb, key),
+        )
+
+    taco_bench(112)
+    if args.sweep:
+        for B in (28, 56, 224):
+            taco_bench(B)
 
     # ---- wavernn: first-session schedule (batch 40, seq 1000) ---------------
     vb = factories.init_voc_model(factories.MODEL_TYPE_FATCHORD, seed=0)
     vd = vb.dims
-    B = 40
     seq = vd.hop_length * 5
     mel_win = seq // vd.hop_length + 2 * vd.pad
-    vstep = make_wavernn_train_step(vd, optimizer)
-    vbatch = {
-        "x": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
-        "y": jnp.asarray(rng.integers(0, 1024, (B, seq)), jnp.int32),
-        "y_float": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
-        "mels": jnp.asarray(rng.uniform(-1, 1, (B, vd.feat_dims, mel_win)), jnp.float32),
-    }
-    vp, vs = vb.variables["params"], vb.variables["batch_stats"]
-    vo = optimizer.init(vp)
-    v_flops, v_bytes = xla_cost(vstep, vp, vs, vo, vbatch)
-    vp, vs, vo, stats = vstep(vp, vs, vo, vbatch)
-    float(stats["loss"])
-    t0 = time.perf_counter()
-    for _ in range(N):
-        vp, vs, vo, stats = vstep(vp, vs, vo, vbatch)
-    float(stats["loss"])
-    dt = (time.perf_counter() - t0) / N
-    print(json.dumps({"metric": "wavernn_train", "value": round(1.0 / dt, 3), "unit": "steps/s", "batch": f"{B}x{seq}", **summarize(v_flops, dt, v_bytes)}), flush=True)
+
+    def voc_bench(B):
+        vbatch = {
+            "x": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 1024, (B, seq)), jnp.int32),
+            "y_float": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "mels": jnp.asarray(
+                rng.uniform(-1, 1, (B, vd.feat_dims, mel_win)), jnp.float32),
+        }
+        vv = vb.variables
+
+        def run(step, carry=None):
+            if carry is None:
+                carry = (jax.tree_util.tree_map(jnp.copy, vv["params"]),
+                         jax.tree_util.tree_map(jnp.copy, vv["batch_stats"]),
+                         optimizer.init(vv["params"]))
+            vp, vs, vo = carry
+            vp, vs, vo, st = step(vp, vs, vo, vbatch)
+            float(st["loss"])
+            return (vp, vs, vo)
+
+        bench(
+            "wavernn_train",
+            lambda dt: make_wavernn_train_step(vd, optimizer,
+                                               compute_dtype=dt),
+            run, f"{B}x{seq}",
+            (vv["params"], vv["batch_stats"], optimizer.init(vv["params"]),
+             vbatch),
+        )
+
+    voc_bench(40)
+    if args.sweep:
+        for B in (80, 160, 320):
+            voc_bench(B)
 
 
 if __name__ == "__main__":

@@ -33,6 +33,11 @@ if __name__ == "__main__":
                         help="Ignore any saved model for this run_id and "
                              "restart from scratch.")
     parser.add_argument("--profile", action="store_true")
+    parser.add_argument("--compute_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="bf16 activates the mixed-precision "
+                             "training policy (master params stay "
+                             "f32; see BENCHMARKS.md).")
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")
@@ -79,4 +84,5 @@ if __name__ == "__main__":
         save_every=args.save_every, backup_every=args.backup_every,
         profile=args.profile, resume=not args.force_restart,
         dp_mesh=dp_mesh,
+        compute_dtype=args.compute_dtype,
     )

@@ -80,7 +80,9 @@ class FastPitchDims(NamedTuple):
 
 
 def _mm(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    return jnp.dot(x, w, preferred_element_type=matmul_dtype())
 
 
 # ---------------------------------------------------------------------------
@@ -122,27 +124,33 @@ def multihead_attention(
         scores = jnp.where(
             key_padding_mask[:, None, None, :], -jnp.inf, scores
         )
-    attn = jax.nn.softmax(scores, axis=-1)
+    # softmax in f32 under any compute policy (denominator stability)
+    attn = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(v.dtype)
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, T, E)
     return _mm(out, p["out_proj"]["weight"].T) + p["out_proj"]["bias"]
 
 
 def layer_norm(p: Dict, x: jax.Array, eps: float = 1e-5) -> jax.Array:
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+    # moments in f32 under any compute policy, output in the input dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps) * p["weight"] + p["bias"]
+    return y.astype(x.dtype)
 
 
 def _conv(p: Dict, x: jax.Array, kernel: int) -> jax.Array:
     """k//2-padded 1-D conv over (B, T, C), torch weight (O, I, K)."""
+    from rtvc_tpu.ops.precision import matmul_dtype
+
     y = jax.lax.conv_general_dilated(
         x,
         jnp.transpose(p["weight"], (2, 1, 0)),
         window_strides=(1,),
         padding=[(kernel // 2, kernel // 2)],
         dimension_numbers=("NLC", "LIO", "NLC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=matmul_dtype(),
     )
     return y[:, : x.shape[1], :] + p["bias"]
 

@@ -95,7 +95,9 @@ class ForwardTacotronDims(NamedTuple):
 
 
 def _mm(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    return jnp.dot(x, w, preferred_element_type=matmul_dtype())
 
 
 # ---------------------------------------------------------------------------
@@ -319,7 +321,9 @@ def _lstm_dir(p: Dict, suffix: str, x: jax.Array) -> jax.Array:
         return (h, c), h
 
     _, ys = jax.lax.scan(
-        step, (jnp.zeros((B, H)), jnp.zeros((B, H))), jnp.swapaxes(xg, 0, 1)
+        step,
+        (jnp.zeros((B, H), xg.dtype), jnp.zeros((B, H), xg.dtype)),
+        jnp.swapaxes(xg, 0, 1),
     )
     return jnp.swapaxes(ys, 0, 1)
 

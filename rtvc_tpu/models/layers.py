@@ -10,8 +10,9 @@ TPU design notes:
   * The input projection ``x @ W_ih^T`` for a whole sequence is hoisted out of
     the scan into one big MXU matmul; only the ``h @ W_hh^T`` recurrence stays
     sequential.
-  * All matmuls carry ``preferred_element_type=float32`` so bf16 params still
-    accumulate in fp32 on the MXU.
+  * Matmul/conv output dtype follows the active mixed-precision policy
+    (``rtvc_tpu.ops.precision``): f32 by default; under the bf16 training
+    policy the MXU still accumulates in fp32 but streams bf16 activations.
   * Convolutions use ``lax.conv_general_dilated`` in NLC layout (lane dim =
     channels = multiple of 128 where it matters).
 
@@ -28,7 +29,9 @@ from flax import linen as nn
 
 
 def _matmul(x: jax.Array, w: jax.Array) -> jax.Array:
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    return jnp.dot(x, w, preferred_element_type=matmul_dtype())
 
 
 def _uniform_init(scale: float):
@@ -305,13 +308,15 @@ class Conv1d(nn.Module):
             pad = [(self.padding, self.padding)]
         else:
             pad = self.padding
+        from rtvc_tpu.ops.precision import matmul_dtype
+
         y = jax.lax.conv_general_dilated(
             x,
             kernel,
             window_strides=(1,),
             padding=pad,
             dimension_numbers=("NLC", "LIO", "NLC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=matmul_dtype(),
         )
         if self.use_bias:
             y = y + self.param("bias", _uniform_init(scale), (self.features,))
@@ -342,8 +347,11 @@ class BatchNorm1d(nn.Module):
         )
         if train:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            # stats in f32 regardless of the compute policy — bf16 mean/var
+            # over big batches loses bits, and running stats must stay f32
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
             n = x.size / self.features
             if not self.is_initializing():
                 ra_mean.value = (
@@ -355,7 +363,7 @@ class BatchNorm1d(nn.Module):
         else:
             mean, var = ra_mean.value, ra_var.value
         inv = jax.lax.rsqrt(var + self.epsilon)
-        return (x - mean) * inv * gamma + beta
+        return ((x - mean) * inv * gamma + beta).astype(x.dtype)
 
 
 class Embedding(nn.Module):

@@ -34,10 +34,11 @@ class SpeakerEncoder(nn.Module):
             name="lstm",
         )(utterances)
         # Only the last layer's final hidden state feeds the projection
-        # (ref: encoder/model.py:57).
+        # (ref: encoder/model.py:57). L2-normalize in f32 under any compute
+        # policy — the GE2E similarity math downstream is f32.
         embeds_raw = jax.nn.relu(
             Linear(self.model.model_embedding_size, name="linear")(hidden[-1])
-        )
+        ).astype(jnp.float32)
         return embeds_raw / jnp.linalg.norm(embeds_raw, axis=1, keepdims=True)
 
 

@@ -258,16 +258,22 @@ class DecoderCarry(NamedTuple):
     cumulative: jax.Array  # (B, T_text) cumulative attention
 
 
-def init_decoder_carry(d: TacotronDims, batch: int, t_text: int) -> DecoderCarry:
-    z = functools.partial(jnp.zeros, dtype=jnp.float32)
+def init_decoder_carry(d: TacotronDims, batch: int, t_text: int,
+                       dtype=jnp.float32) -> DecoderCarry:
+    """``dtype`` sets the recurrent-state precision (the bf16 training
+    policy); attention context/cumulative stay f32 under any policy — the
+    alignment path is precision-sensitive and its f32 softmax keeps the
+    carried scores f32 each iteration."""
+    z = functools.partial(jnp.zeros, dtype=dtype)
+    zf = functools.partial(jnp.zeros, dtype=jnp.float32)
     return DecoderCarry(
         attn_hidden=z((batch, d.decoder_dims)),
         rnn1_hidden=z((batch, d.lstm_dims)),
         rnn1_cell=z((batch, d.lstm_dims)),
         rnn2_hidden=z((batch, d.lstm_dims)),
         rnn2_cell=z((batch, d.lstm_dims)),
-        context_vec=z((batch, d.encoder_dims + d.speaker_embedding_size)),
-        cumulative=z((batch, t_text)),
+        context_vec=zf((batch, d.encoder_dims + d.speaker_embedding_size)),
+        cumulative=zf((batch, t_text)),
     )
 
 
@@ -291,6 +297,9 @@ def decoder_step(
     mods = _modules(d)
     k_pre, k_zo1, k_zo2 = jax.random.split(rng, 3)
 
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    cdt = matmul_dtype()
     if prenet_dropout:
         prenet_out = mods["dec_prenet"].apply(
             {"params": params["dec_prenet"]}, prenet_in, rngs={"dropout": k_pre}
@@ -298,17 +307,22 @@ def decoder_step(
     else:
         pp = params["dec_prenet"]
         h = jax.nn.relu(
-            jnp.dot(prenet_in, pp["fc1"]["weight"].T) + pp["fc1"]["bias"]
+            jnp.dot(prenet_in, pp["fc1"]["weight"].T,
+                    preferred_element_type=cdt) + pp["fc1"]["bias"]
         )
         prenet_out = jax.nn.relu(
-            jnp.dot(h, pp["fc2"]["weight"].T) + pp["fc2"]["bias"]
+            jnp.dot(h, pp["fc2"]["weight"].T,
+                    preferred_element_type=cdt) + pp["fc2"]["bias"]
         )
 
-    # Attention GRU
-    attn_rnn_in = jnp.concatenate([carry.context_vec, prenet_out], axis=-1)
+    # Attention GRU (context_vec is carried f32; cast down so the concat
+    # stays in the compute dtype under the bf16 policy)
+    attn_rnn_in = jnp.concatenate(
+        [carry.context_vec.astype(prenet_out.dtype), prenet_out], axis=-1
+    )
     xg = (
         jnp.dot(attn_rnn_in, params["attn_rnn"]["weight_ih"].T,
-                preferred_element_type=jnp.float32)
+                preferred_element_type=cdt)
         + params["attn_rnn"]["bias_ih"]
     )
     attn_hidden = gru_step(
@@ -320,7 +334,9 @@ def decoder_step(
     processed_query = mods["lsa_W"].apply(
         {"params": params["lsa_W"]}, attn_hidden
     )[:, None, :]
-    location = carry.cumulative[:, :, None]  # (B, T, 1)
+    # cumulative scores are carried f32; the location conv runs in the
+    # compute dtype
+    location = carry.cumulative[:, :, None].astype(prenet_out.dtype)
     processed_loc = mods["lsa_L"].apply(
         {"params": params["lsa_L"]},
         mods["lsa_conv"].apply({"params": params["lsa_conv"]}, location),
@@ -332,7 +348,9 @@ def decoder_step(
     # NB the reference multiplies logits (not additively masks) by the pad
     # mask — kept bit-exact for checkpoint parity (ref: tacotron.py:208).
     u = u * char_mask
-    scores = jax.nn.softmax(u, axis=1)
+    # attention softmax + cumulative scores stay f32 under any compute
+    # policy — the alignment is the precision-sensitive part of training
+    scores = jax.nn.softmax(u.astype(jnp.float32), axis=1)
     cumulative = carry.cumulative + scores
 
     context_vec = jnp.einsum("bt,btc->bc", scores, encoder_seq)
@@ -437,13 +455,13 @@ def tacotron_forward(
 
     n_iters = steps // r
     # Teacher inputs: frame t-1 for t = 0, r, 2r, ... (GO frame at t=0)
-    go = jnp.zeros((B, d.n_mels))
+    go = jnp.zeros((B, d.n_mels), dtype=mels.dtype)
     teacher_idx = jnp.arange(1, n_iters) * r - 1
     teacher = jnp.concatenate(
         [go[:, None, :], jnp.moveaxis(mels[:, :, teacher_idx], 1, 2)], axis=1
     )  # (B, n_iters, n_mels)
 
-    carry0 = init_decoder_carry(d, B, chars.shape[1])
+    carry0 = init_decoder_carry(d, B, chars.shape[1], dtype=mels.dtype)
     step_keys = jax.random.split(k_dec, n_iters)
 
     def body(carry, inp):

@@ -116,7 +116,9 @@ class WaveRNNDims(NamedTuple):
 
 
 def _mm(x, w):
-    return jnp.dot(x, w, preferred_element_type=jnp.float32)
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    return jnp.dot(x, w, preferred_element_type=matmul_dtype())
 
 
 def _linear(p: Dict, x: jax.Array) -> jax.Array:
@@ -127,11 +129,14 @@ def _linear(p: Dict, x: jax.Array) -> jax.Array:
 
 
 def _bn(p: Dict, s: Dict, x: jax.Array, train: bool, momentum: float = 0.1):
-    """BatchNorm over last axis of (B, T, C); returns (y, new_stats)."""
+    """BatchNorm over last axis of (B, T, C); returns (y, new_stats).
+    Statistics stay f32 under any compute policy (running stats are f32
+    state; bf16 reductions over B·T lose bits)."""
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes)
+        var = jnp.var(xf, axis=axes)
         n = x.size / x.shape[-1]
         new_s = {
             "running_mean": (1 - momentum) * s["running_mean"] + momentum * mean,
@@ -142,18 +147,20 @@ def _bn(p: Dict, s: Dict, x: jax.Array, train: bool, momentum: float = 0.1):
         mean, var = s["running_mean"], s["running_var"]
         new_s = s
     y = (x - mean) * jax.lax.rsqrt(var + 1e-5) * p["weight"] + p["bias"]
-    return y, new_s
+    return y.astype(x.dtype), new_s
 
 
 def _conv1d_valid(w: jax.Array, x: jax.Array) -> jax.Array:
     """VALID 1-D conv, torch weight (O, I, K), x (B, T, I) → (B, T-K+1, O)."""
+    from rtvc_tpu.ops.precision import matmul_dtype
+
     return jax.lax.conv_general_dilated(
         x,
         jnp.transpose(w, (2, 1, 0)),
         window_strides=(1,),
         padding="VALID",
         dimension_numbers=("NLC", "LIO", "NLC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=matmul_dtype(),
     )
 
 
@@ -171,7 +178,9 @@ def _gru_seq(p: Dict, x: jax.Array) -> jax.Array:
         h = gru_step(xg_t, h, w_hh_t, b_hh)
         return h, h
 
-    _, ys = jax.lax.scan(step, jnp.zeros((B, H)), jnp.swapaxes(xg, 0, 1))
+    _, ys = jax.lax.scan(
+        step, jnp.zeros((B, H), dtype=xg.dtype), jnp.swapaxes(xg, 0, 1)
+    )
     return jnp.swapaxes(ys, 0, 1)
 
 
@@ -222,13 +231,15 @@ def upsample_forward(
         mm = jnp.pad(m, ((0, 0), (scale, scale), (0, 0)))
         # channel-shared conv: fold channels into the batch dim
         mm = jnp.transpose(mm, (0, 2, 1)).reshape(B * C, T + 2 * scale, 1)
+        from rtvc_tpu.ops.precision import matmul_dtype
+
         out = jax.lax.conv_general_dilated(
             mm,
             kernel.reshape(K, 1, 1),
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NLC", "LIO", "NLC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=matmul_dtype(),
         )
         m = jnp.transpose(out.reshape(B, C, T), (0, 2, 1))
 
@@ -395,7 +406,8 @@ def wavernn_forward(
         h = jax.nn.relu(_linear(p["fc1"], jnp.concatenate([h, splits[1]], axis=2)))
         out = _linear(p["fc3"], h)
         if d.mode == MODE_BITS:
-            out = jax.nn.log_softmax(out, axis=-1)
+            # log-probs in f32 under any compute policy
+            out = jax.nn.log_softmax(out.astype(jnp.float32), axis=-1)
     else:  # runtimeracer
         res = h
         h = _gru_seq(p["rnn1"], h) + res

@@ -1,0 +1,71 @@
+"""Mixed-precision compute policy for the training paths.
+
+TPU mixed precision 101: the MXU multiplies bf16 operands with f32
+accumulation regardless of the requested output type, so casting params and
+activations to bf16 halves every HBM stream (weights re-read per scan step,
+hoisted gate projections, saved-for-backward activations) without changing
+the accumulation math. Master params, optimizer state, losses, softmaxes
+and batch-norm statistics stay f32 — the standard policy.
+
+Mechanism: the model code's matmul/conv helpers ask
+:func:`matmul_dtype` for their ``preferred_element_type`` instead of
+hard-coding f32. Training steps wrap their forward in
+``with compute_dtype(jnp.bfloat16):`` after casting params/batch floats
+down; the context is a ``contextvars.ContextVar``, read at TRACE time
+(every jit trace of a step executes inside the ``with``), so compiled
+steps bake their policy in and different policies coexist safely.
+
+The reference trains f32 everywhere (torch defaults, no AMP anywhere in
+encoder/train.py, synthesizer/train.py, vocoder/train.py); this is a
+TPU-native lever the round-3 verdict asked to be measured
+(BENCHMARKS.md "Round 4" ablation table).
+"""
+from __future__ import annotations
+
+import contextvars
+from contextlib import contextmanager
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+_COMPUTE_DTYPE: contextvars.ContextVar = contextvars.ContextVar(
+    "rtvc_compute_dtype", default=jnp.float32
+)
+
+
+def matmul_dtype():
+    """The ``preferred_element_type`` model matmuls/convs should request —
+    f32 outside any policy context."""
+    return _COMPUTE_DTYPE.get()
+
+
+@contextmanager
+def compute_dtype(dtype):
+    """Activate a compute dtype for every model matmul traced inside."""
+    token = _COMPUTE_DTYPE.set(jnp.dtype(dtype))
+    try:
+        yield
+    finally:
+        _COMPUTE_DTYPE.reset(token)
+
+
+def cast_floats(tree: Any, dtype) -> Any:
+    """Cast every inexact-dtype leaf to ``dtype`` (ints/bools untouched)."""
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.inexact) else x
+
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def resolve(name) -> Any:
+    """'bf16'/'bfloat16'/'f32'/'float32' (or a dtype) → dtype object."""
+    if name is None:
+        return jnp.float32
+    if isinstance(name, str):
+        return {
+            "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            "f32": jnp.float32, "float32": jnp.float32,
+        }[name]
+    return jnp.dtype(name)

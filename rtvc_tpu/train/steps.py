@@ -22,7 +22,25 @@ from rtvc_tpu.models import tacotron as taco
 from rtvc_tpu.models import wavernn as wr
 from rtvc_tpu.models.distribution import discretized_mix_logistic_loss
 from rtvc_tpu.models.speaker_encoder import SpeakerEncoder, ge2e_loss
+from rtvc_tpu.ops import precision
 from rtvc_tpu.train.losses import cross_entropy_bits, tacotron_loss
+
+
+def _policy(params, batch, compute_dtype):
+    """Apply the mixed-precision policy: cast params + float batch leaves to
+    the compute dtype (master params outside stay f32; casting inside the
+    loss makes the cast's transpose deliver f32 grads). Returns
+    (params_for_forward, batch_for_forward, context_manager)."""
+    cdt = precision.resolve(compute_dtype)
+    if cdt == jnp.float32:
+        import contextlib
+
+        return params, batch, contextlib.nullcontext()
+    return (
+        precision.cast_floats(params, cdt),
+        precision.cast_floats(batch, cdt),
+        precision.compute_dtype(cdt),
+    )
 
 
 class TrainState(NamedTuple):
@@ -37,13 +55,18 @@ class TrainState(NamedTuple):
 
 
 def make_encoder_train_step(model: SpeakerEncoder, optimizer: optax.GradientTransformation,
-                            speakers_per_batch: int, utterances_per_speaker: int):
+                            speakers_per_batch: int, utterances_per_speaker: int,
+                            compute_dtype=jnp.float32):
     """GE2E step: forward → ge2e loss → grad ops (sim-param grads ×0.01,
-    clip norm 3 — ref: encoder/model.py:34-40) → Adam."""
+    clip norm 3 — ref: encoder/model.py:34-40) → Adam. ``compute_dtype``
+    activates the bf16 policy for the LSTM scans (embeds/similarity/loss
+    stay f32)."""
 
     def loss_fn(all_params, inputs):
-        embeds = model.apply({"params": all_params["model"]}, inputs)
-        embeds = embeds.reshape(
+        p, x, ctx = _policy(all_params, inputs, compute_dtype)
+        with ctx:
+            embeds = model.apply({"params": p["model"]}, x)
+        embeds = embeds.astype(jnp.float32).reshape(
             speakers_per_batch, utterances_per_speaker, -1
         )
         loss, sim = ge2e_loss(
@@ -83,17 +106,23 @@ def make_tacotron_train_step(
     optimizer: optax.GradientTransformation,
     r: int,
     clip_grad_norm: float = 1.0,
+    compute_dtype=jnp.float32,
 ):
-    """Teacher-forced Tacotron step (ref: synthesizer/train.py:226-265)."""
+    """Teacher-forced Tacotron step (ref: synthesizer/train.py:226-265).
+    ``compute_dtype`` activates the bf16 policy for the decoder scan /
+    CBHGs (attention softmax, BN stats and losses stay f32)."""
 
     def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params, "batch_stats": batch_stats}
-        m1, m2, attn, stop_pred, new_stats = taco.tacotron_forward(
-            variables, d, batch["chars"], batch["mels"], batch["embeds"],
-            r, rng, train=True,
-        )
+        p, b, ctx = _policy(params, batch, compute_dtype)
+        with ctx:
+            variables = {"params": p, "batch_stats": batch_stats}
+            m1, m2, attn, stop_pred, new_stats = taco.tacotron_forward(
+                variables, d, b["chars"], b["mels"], b["embeds"],
+                r, rng, train=True,
+            )
         loss, parts = tacotron_loss(
-            m1, m2, stop_pred, batch["mels"], batch["stop"]
+            m1.astype(jnp.float32), m2.astype(jnp.float32),
+            stop_pred.astype(jnp.float32), batch["mels"], batch["stop"]
         )
         return loss, (parts, new_stats, attn)
 
@@ -130,10 +159,12 @@ def _masked_l1_lastdim(pred: jax.Array, target: jax.Array, lens: jax.Array) -> j
     return jnp.sum(jnp.abs(pred - target) * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
-def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg):
+def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg,
+                              compute_dtype=jnp.float32):
     """ForwardTacotron/FastPitch step: masked L1 on mel/post + weighted
     duration/pitch/energy losses with zoneout masks on the conditioning
-    (ref: synthesizer/train.py:405-442)."""
+    (ref: synthesizer/train.py:405-442). ``compute_dtype`` activates the
+    bf16 policy for the forward (losses in f32)."""
     from rtvc_tpu.models import factories
 
     if model_type == factories.MODEL_TYPE_FORWARD_TACOTRON:
@@ -154,12 +185,23 @@ def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg):
         energy_in = energy_target * (
             jax.random.uniform(k_zo2, energy_target.shape) > energy_zoneout
         )
-        variables = {"params": params, "batch_stats": batch_stats}
-        mel_hat, mel_post, dur_hat, pitch_hat, energy_hat, new_stats = fwd(
-            variables, dims, batch["chars"], batch["mels"], batch["durations"],
-            batch["embeds"], batch["spec_lens"], pitch_in, energy_in,
-            k_fwd, train=True,
+        p, b, ctx = _policy(
+            params,
+            {**batch, "pitch_in": pitch_in, "energy_in": energy_in},
+            compute_dtype,
         )
+        with ctx:
+            variables = {"params": p, "batch_stats": batch_stats}
+            mel_hat, mel_post, dur_hat, pitch_hat, energy_hat, new_stats = fwd(
+                variables, dims, b["chars"], b["mels"], b["durations"],
+                b["embeds"], b["spec_lens"], b["pitch_in"], b["energy_in"],
+                k_fwd, train=True,
+            )
+        mel_hat = mel_hat.astype(jnp.float32)
+        mel_post = mel_post.astype(jnp.float32)
+        dur_hat = dur_hat.astype(jnp.float32)
+        pitch_hat = pitch_hat.astype(jnp.float32)
+        energy_hat = energy_hat.astype(jnp.float32)
         m1 = _masked_l1_lastdim(mel_hat, batch["mels"], batch["spec_lens"])
         m2 = _masked_l1_lastdim(mel_post, batch["mels"], batch["spec_lens"])
         dur_l = _masked_l1_lastdim(
@@ -208,16 +250,21 @@ def make_nar_synth_train_step(model_type: str, dims, optimizer, cfg):
 
 
 def make_wavernn_train_step(
-    d: wr.WaveRNNDims, optimizer: optax.GradientTransformation
+    d: wr.WaveRNNDims, optimizer: optax.GradientTransformation,
+    compute_dtype=jnp.float32,
 ):
     """WaveRNN step: CE (RAW/BITS) or discretized-MoL loss
-    (ref: vocoder/train.py:173-219)."""
+    (ref: vocoder/train.py:173-219). ``compute_dtype`` activates the bf16
+    policy for the GRU scans / upsampler (loss in f32)."""
 
     def loss_fn(params, batch_stats, batch):
-        variables = {"params": params, "batch_stats": batch_stats}
-        out, new_stats = wr.wavernn_forward(
-            variables, d, batch["x"], batch["mels"], train=True
-        )
+        p, b, ctx = _policy(params, batch, compute_dtype)
+        with ctx:
+            variables = {"params": p, "batch_stats": batch_stats}
+            out, new_stats = wr.wavernn_forward(
+                variables, d, b["x"], b["mels"], train=True
+            )
+        out = out.astype(jnp.float32)
         if d.mode == "MOL":
             y = batch["y_float"][:, :, None]
             loss = discretized_mix_logistic_loss(

@@ -148,8 +148,13 @@ def train_encoder(
     projection_hook=None,
     projection_every: int = 0,
     dp_mesh=None,
+    compute_dtype: str = "f32",
 ) -> Dict[str, Any]:
     """GE2E training loop (ref: encoder/train.py:11-163).
+
+    ``compute_dtype='bf16'`` activates the mixed-precision policy for the
+    LSTM scans (master params/optimizer/loss stay f32 —
+    rtvc_tpu/ops/precision.py; measured speedups in BENCHMARKS.md).
 
     ``dp_mesh``: a (possibly multi-process) mesh for data-parallel training.
     ``data_iterator`` then yields each process's LOCAL shard of the batch
@@ -196,8 +201,11 @@ def train_encoder(
         # relative stop (ref encoder_train.py --end_after): N more steps
         # from wherever the run resumed
         total_steps = min(total_steps or np.inf, step + end_after)
+    from rtvc_tpu.ops import precision
+
     step_fn = make_encoder_train_step(
-        model, optimizer, speakers_per_batch, utterances_per_speaker
+        model, optimizer, speakers_per_batch, utterances_per_speaker,
+        compute_dtype=precision.resolve(compute_dtype),
     )
     # Architecture config rides in the checkpoint so inference reloads the
     # exact model (same contract as the synthesizer/vocoder trainers).
@@ -278,6 +286,7 @@ def train_synthesizer(
     override_hp=None,
     resume: bool = True,
     dp_mesh=None,
+    compute_dtype: str = "f32",
 ) -> Dict[str, Any]:
     """Session-scheduled synthesizer training (ref: synthesizer/train.py:56-331).
 
@@ -351,7 +360,8 @@ def train_synthesizer(
             ]
         )
 
-        step_fn = _make_syn_step(model_type, bundle, optimizer, r, dp_mesh)
+        step_fn = _make_syn_step(model_type, bundle, optimizer, r,
+                                 dp_mesh, compute_dtype=compute_dtype)
 
         done = False
         for epoch in range(n_epochs):
@@ -402,7 +412,11 @@ def train_synthesizer(
             **{k: float(v) for k, v in last_stats.items()}}
 
 
-def _make_syn_step(model_type, bundle, optimizer, r, dp_mesh=None):
+def _make_syn_step(model_type, bundle, optimizer, r, dp_mesh=None,
+                   compute_dtype="f32"):
+    from rtvc_tpu.ops import precision as _prec
+
+    compute_dtype = _prec.resolve(compute_dtype)
     from rtvc_tpu.models import factories
 
     if dp_mesh is not None:
@@ -417,7 +431,8 @@ def _make_syn_step(model_type, bundle, optimizer, r, dp_mesh=None):
         from rtvc_tpu.train.steps import make_tacotron_train_step
 
         raw = make_tacotron_train_step(
-            bundle.dims, optimizer, r, bundle.config.tts_clip_grad_norm
+            bundle.dims, optimizer, r, bundle.config.tts_clip_grad_norm,
+            compute_dtype=compute_dtype,
         )
 
         def step_fn(variables, opt_state, batch, rng):
@@ -439,7 +454,8 @@ def _make_syn_step(model_type, bundle, optimizer, r, dp_mesh=None):
     from rtvc_tpu.train.steps import make_nar_synth_train_step
 
     raw = make_nar_synth_train_step(model_type, bundle.dims, optimizer,
-                                    bundle.config)
+                                    bundle.config,
+                                    compute_dtype=compute_dtype)
 
     def step_fn(variables, opt_state, batch, rng):
         params, stats, opt_state, out = raw(
@@ -480,6 +496,7 @@ def train_vocoder(
     override_hp=None,
     resume: bool = True,
     dp_mesh=None,
+    compute_dtype: str = "f32",
 ) -> Dict[str, Any]:
     """WaveRNN training with pruning + anomaly detection
     (ref: vocoder/train.py:23-305). With ``dp_mesh`` (multi-process DP)
@@ -522,7 +539,12 @@ def train_vocoder(
         as_dev = jnp.asarray
     opt_state = optimizer.init(variables["params"])
 
-    raw_step = make_wavernn_train_step(bundle.dims, optimizer)
+    from rtvc_tpu.ops import precision as _prec
+
+    raw_step = make_wavernn_train_step(
+        bundle.dims, optimizer,
+        compute_dtype=_prec.resolve(compute_dtype),
+    )
     detector = AnomalyDetector(cfg.anomaly_trigger_multiplier) if cfg.anomaly_detection else None
     loss_window = ValueWindow(100)
     time_window = ValueWindow(100)

@@ -21,6 +21,11 @@ if __name__ == "__main__":
     parser.add_argument("-s", "--save_every", type=int, default=1000)
     parser.add_argument("-b", "--backup_every", type=int, default=25000)
     parser.add_argument("--max_steps", type=int, default=None)
+    parser.add_argument("--compute_dtype", choices=["f32", "bf16"],
+                        default="f32",
+                        help="bf16 activates the mixed-precision "
+                             "training policy (master params stay "
+                             "f32; see BENCHMARKS.md).")
     parser.add_argument("-f", "--force_restart", action="store_true",
                         help="Ignore any saved model for this run_id and "
                              "restart from scratch.")
@@ -81,4 +86,5 @@ if __name__ == "__main__":
         eval_hook=eval_hook,
         eval_interval=bundle_cfg.eval_interval,
         dp_mesh=dp_mesh,
+        compute_dtype=args.compute_dtype,
     )

@@ -133,3 +133,142 @@ class TestForwardTacotronLearns:
             losses.append(float(out["loss"]))
         assert losses[-1] < 0.95 * losses[0], losses[::8]
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestMixedPrecisionLearns:
+    """The bf16 compute policy (rtvc_tpu/ops/precision.py): master params
+    stay f32, the forward/backward streams run bf16. Gate: the first-step
+    loss matches f32 closely (same math, rounded activations) and the
+    optimizer still overfits a single batch."""
+
+    def test_tacotron_bf16_matches_and_learns(self):
+        cfg = TacotronParams(
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, lstm_dims=16, postnet_K=2, num_highways=2,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=cfg
+        )
+        from rtvc_tpu.train.steps import make_tacotron_train_step
+
+        optimizer = optax.adam(3e-3)
+        rng = np.random.default_rng(0)
+        B, T, F = 2, 8, 8
+        batch = {
+            "chars": jnp.asarray(rng.integers(1, 20, (B, T)), jnp.int32),
+            "mels": jnp.asarray(rng.uniform(-4, 4, (B, 80, F)), jnp.float32),
+            "embeds": jnp.asarray(rng.standard_normal((B, 768)), jnp.float32),
+            "stop": jnp.ones((B, F), jnp.float32),
+        }
+        first = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            step = make_tacotron_train_step(
+                bundle.dims, optimizer, r=2, compute_dtype=dt
+            )
+            losses = _overfit(
+                step,
+                jax.tree_util.tree_map(jnp.copy, bundle.variables["params"]),
+                jax.tree_util.tree_map(jnp.copy,
+                                       bundle.variables["batch_stats"]),
+                optimizer.init(bundle.variables["params"]), batch,
+                jax.random.PRNGKey(0),
+            )
+            first[dt] = losses[0]
+            assert np.isfinite(losses).all()
+            assert losses[-1] < 0.85 * losses[0], (dt, losses[::8])
+        # same initial params + same batch → first losses agree to bf16
+        # rounding (relative; these losses are O(10))
+        rel = abs(first[jnp.bfloat16] - first[jnp.float32]) / first[jnp.float32]
+        assert rel < 0.05, first
+
+    def test_wavernn_bf16_matches_and_learns(self):
+        cfg = WaveRNNParams(
+            rnn_dims=24, fc_dims=24, compute_dims=12, res_out_dims=16,
+            res_blocks=1, bits=6, seq_len=400,
+        )
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_FATCHORD, override_hp=cfg
+        )
+        from rtvc_tpu.train.steps import make_wavernn_train_step
+
+        optimizer = optax.adam(3e-3)
+        rng = np.random.default_rng(0)
+        B, seq = 2, 400
+        mel_win = seq // 200 + 2 * cfg.pad
+        batch = {
+            "x": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "y": jnp.asarray(rng.integers(0, 2**6, (B, seq)), jnp.int32),
+            "y_float": jnp.asarray(rng.uniform(-1, 1, (B, seq)), jnp.float32),
+            "mels": jnp.asarray(
+                rng.uniform(-1, 1, (B, 80, mel_win)), jnp.float32),
+        }
+        first = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            step = make_wavernn_train_step(bundle.dims, optimizer,
+                                           compute_dtype=dt)
+            params = jax.tree_util.tree_map(jnp.copy,
+                                            bundle.variables["params"])
+            stats = jax.tree_util.tree_map(jnp.copy,
+                                           bundle.variables["batch_stats"])
+            opt_state = optimizer.init(params)
+            losses = []
+            for _ in range(40):
+                params, stats, opt_state, out = step(
+                    params, stats, opt_state, batch
+                )
+                losses.append(float(out["loss"]))
+            first[dt] = losses[0]
+            assert np.isfinite(losses).all()
+            assert losses[-1] < 0.97 * losses[0], (dt, losses[::8])
+            # master params and BN stats stay f32
+            for leaf in jax.tree_util.tree_leaves((params, stats)):
+                if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                    assert leaf.dtype == jnp.float32
+        rel = abs(first[jnp.bfloat16] - first[jnp.float32]) / first[jnp.float32]
+        assert rel < 0.05, first
+
+    def test_encoder_bf16_matches_and_learns(self):
+        from rtvc_tpu.config.encoder import (
+            EncoderDataParams,
+            EncoderModelParams,
+        )
+        from rtvc_tpu.models.speaker_encoder import (
+            SpeakerEncoder,
+            init_similarity_params,
+        )
+        from rtvc_tpu.train.steps import make_encoder_train_step
+
+        model = SpeakerEncoder(
+            model=EncoderModelParams(model_hidden_size=16,
+                                     model_embedding_size=16,
+                                     model_num_layers=2),
+            data=EncoderDataParams(),
+        )
+        S, U, T, n_mels = 6, 4, 20, 10
+        rng = np.random.default_rng(3)
+        # separable data: per-speaker mean offsets
+        base = rng.standard_normal((S, 1, 1, n_mels)) * 2.0
+        batch = (base + rng.standard_normal((S, U, T, n_mels))).reshape(
+            S * U, T, n_mels
+        ).astype(np.float32)
+        batch = jnp.asarray(batch)
+        params = {
+            "model": model.init(jax.random.PRNGKey(0), batch)["params"],
+            "similarity": init_similarity_params(),
+        }
+        optimizer = optax.adam(1e-2)
+        first = {}
+        for dt in (jnp.float32, jnp.bfloat16):
+            step = make_encoder_train_step(model, optimizer, S, U,
+                                           compute_dtype=dt)
+            p = jax.tree_util.tree_map(jnp.copy, params)
+            o = optimizer.init(p)
+            losses = []
+            for _ in range(30):
+                p, o, st, _, _ = step(p, o, batch)
+                losses.append(float(st["loss"]))
+            first[dt] = losses[0]
+            assert np.isfinite(losses).all()
+            assert losses[-1] < 0.5 * losses[0], (dt, losses[::6])
+        rel = abs(first[jnp.bfloat16] - first[jnp.float32]) / first[jnp.float32]
+        assert rel < 0.05, first
