@@ -100,6 +100,156 @@ class StreamChunk:
     t_emitted: float         # time.perf_counter() when this chunk was ready
 
 
+@functools.lru_cache(maxsize=16)
+def _make_chunk_vocoder(voc_dims, window_frames: int, voc_target: int,
+                        voc_overlap: int, mu_law: bool,
+                        apply_preemphasis: bool, compute_dtype,
+                        use_pallas: bool, stream_dtype, max_abs: float):
+    """One jitted vocode dispatch per window shape: a (n_mels,
+    window_frames) conditioning slice → the full WaveRNN generate pipeline
+    ((window−1)·hop samples). The NAR streaming path's only device work —
+    cached per shape so repeated streams never retrace."""
+    from rtvc_tpu.models.wavernn import _generate_pipeline
+
+    @jax.jit
+    def run(voc_variables, cond, key):
+        return _generate_pipeline(
+            voc_variables, voc_dims, cond[None] / max_abs, key,
+            True, voc_target, voc_overlap, mu_law, apply_preemphasis,
+            compute_dtype, use_pallas, stream_dtype,
+        )
+
+    return run
+
+
+def stream_vocode(
+    voc_variables,
+    voc_dims,
+    mel: np.ndarray,
+    seed: int = 0,
+    chunk_frames: int = 48,
+    voc_ctx: int = 12,
+    xfade_frames: int = 2,
+    voc_target: int = 400,
+    voc_overlap: int = 160,
+    use_pallas: Optional[bool] = None,
+    stream_dtype=jnp.bfloat16,
+    first_chunk_frames: Optional[int] = None,
+    mu_law: Optional[bool] = None,
+    apply_preemphasis: Optional[bool] = None,
+    compute_dtype=jnp.float32,
+    voc_config=None,
+) -> Iterator[StreamChunk]:
+    """Chunked vocoding of an ALREADY-COMPLETE mel (80, T): yields playable
+    waveform chunks with ``voc_ctx`` frames of conditioning lookback before
+    every splice (AR state warm-up, same mechanism as fold overlap — ref
+    fatchord_version.py:290-340) and an equal-power crossfade at joins.
+
+    This is the NAR streaming path: ForwardTacotron/FastPitch emit their
+    whole mel in one parallel pass (ref forward_tacotron.py:185-204), so
+    streaming them means streaming the vocoder — TTFA is one mel pass plus
+    ONE SMALL chunk's vocode instead of the full utterance's. Also usable
+    on any precomputed mel (the toolbox "vocode-only" path).
+
+    Chunk waveforms total (T − 1)·hop samples, matching the batch
+    ``vocoder.infer_waveform`` length for the same mel.
+    """
+    from rtvc_tpu.config import sp as _sp
+    from rtvc_tpu.models.wavernn import MODE_RAW
+
+    hop = voc_dims.hop_length
+    if use_pallas is None:
+        use_pallas = jax.devices()[0].platform == "tpu"
+    if mu_law is None:
+        mu_law = getattr(voc_config, "mu_law", True)
+    mu_law = bool(mu_law) and voc_dims.mode == MODE_RAW
+    if apply_preemphasis is None:
+        apply_preemphasis = _sp.preemphasize
+    xfade_frames = max(xfade_frames, 0)
+    voc_ctx = max(voc_ctx, 1 + xfade_frames)  # same invariant as stream_clone
+    chunk_frames = max(chunk_frames, voc_ctx + 1)
+
+    mel = np.asarray(mel, np.float32)
+    T = mel.shape[1]
+    if T < 2:
+        return
+
+    def vocoder_for(window):
+        return _make_chunk_vocoder(
+            voc_dims, window, voc_target, voc_overlap, bool(mu_law),
+            bool(apply_preemphasis), compute_dtype, bool(use_pallas),
+            stream_dtype, float(_sp.max_abs_value),
+        )
+
+    first = min(first_chunk_frames or chunk_frames, chunk_frames)
+    # the second chunk's context is the first chunk's tail: the first chunk
+    # must cover the boundary frame + crossfade lead-in
+    first = max(first, 1 + xfade_frames, 2)
+    # chunk schedule: [first, chunk, chunk, ...] clipped to T
+    starts, sizes = [], []
+    pos = 0
+    while pos < T:
+        n = first if pos == 0 else chunk_frames
+        n = min(n, T - pos)
+        starts.append(pos)
+        sizes.append(n)
+        pos += n
+    # merge a tiny tail chunk into its predecessor (window must stay ≥ 2)
+    if len(sizes) > 1 and sizes[-1] < max(2, xfade_frames + 1):
+        sizes[-2] += sizes[-1]
+        starts.pop()
+        sizes.pop()
+
+    xfade = xfade_frames * hop
+    tail: Optional[np.ndarray] = None
+    key = jax.random.PRNGKey(seed ^ 0x5EED)
+
+    def dispatch(i):
+        s, n = starts[i], sizes[i]
+        lo = max(s - voc_ctx, 0)
+        cond = jnp.asarray(mel[:, lo : s + n])
+        return vocoder_for(int(cond.shape[1]))(
+            voc_variables, cond, jax.random.fold_in(key, i)
+        )
+
+    pending = dispatch(0)
+    for i in range(len(starts)):
+        wav_dev = pending
+        if i + 1 < len(starts):
+            # pipeline: launch the next chunk before transferring this one
+            pending = dispatch(i + 1)
+        wav = np.asarray(wav_dev)
+        s, n = starts[i], sizes[i]
+        ctx = min(voc_ctx, s)  # first chunk has no left context
+        # a (ctx+n)-frame window decodes (ctx+n−1)·hop samples; drop the
+        # context body minus the crossfade lead-in (same trim as
+        # stream_clone — each chunk ends one frame short, recovered by the
+        # next chunk's context)
+        if i == 0:
+            cut, end = 0, (n - 1) * hop
+        else:
+            cut = max((ctx - 1) * hop - xfade, 0)
+            end = (ctx - 1 + n) * hop
+        body = wav[cut:end]
+        if tail is not None and xfade and len(body) >= xfade:
+            ramp = np.sin(0.5 * np.pi * np.linspace(0, 1, xfade)) ** 2
+            body = body.copy()
+            body[:xfade] = tail * (1.0 - ramp) + body[:xfade] * ramp
+        out, tail = (body[:-xfade], body[-xfade:]) if xfade else (body, None)
+        final = i == len(starts) - 1
+        if final:
+            if tail is not None:
+                out = np.concatenate([out, tail])
+                tail = None
+            out = out.copy()
+            fade_len = min(20 * hop, len(out))
+            if fade_len:
+                out[-fade_len:] *= np.linspace(1.0, 0.0, fade_len)
+        yield StreamChunk(
+            wav=out, index=i, final=final, t_emitted=time.perf_counter()
+        )
+
+
 @functools.lru_cache(maxsize=8)
 def _make_chunk_decoder(d, r: int, chunk_iters: int, min_iters: int = 0,
                         pad_value: float = -4.0):
@@ -177,9 +327,11 @@ def stream_clone(
     chunks of ~``chunk_frames`` mel frames (~0.6 s at the production hop).
 
     ``synth`` is a loaded ``rtvc_tpu.inference.synthesizer.Synthesizer``
-    (Tacotron checkpoints only — the NAR models generate the full mel in
-    one parallel pass and have nothing to stream). ``voc_variables`` /
-    ``voc_dims`` come from the loaded vocoder bundle
+    of ANY model type. Tacotron streams the decoder itself (chunked scan
+    with carried state); the NAR synthesizers (ForwardTacotron/FastPitch)
+    emit their whole mel in one fast parallel pass, so their stream is the
+    chunked vocoder (:func:`stream_vocode`) — best TTFA of all three.
+    ``voc_variables`` / ``voc_dims`` come from the loaded vocoder bundle
     (``rtvc_tpu.inference.vocoder._model``).
 
     ``first_chunk_frames``: a smaller opening chunk ramps the stream —
@@ -195,8 +347,26 @@ def stream_clone(
     """
     from rtvc_tpu.config import preprocessing, sp as _sp
     from rtvc_tpu.inference.synthesizer import _CHAR_BUCKET, pad1d
+    from rtvc_tpu.models import factories
     from rtvc_tpu.models import tacotron as taco
     from rtvc_tpu.text import text_to_sequence
+
+    if synth._model_type != factories.MODEL_TYPE_TACOTRON:
+        # NAR: one parallel mel pass, then the chunked vocoder
+        mel = synth.synthesize_spectrograms(
+            [text], [np.asarray(embed, np.float32)], seed=seed
+        )[0]
+        yield from stream_vocode(
+            voc_variables, voc_dims, mel, seed=seed,
+            chunk_frames=chunk_frames, voc_ctx=voc_ctx,
+            xfade_frames=xfade_frames, voc_target=voc_target,
+            voc_overlap=voc_overlap, use_pallas=use_pallas,
+            stream_dtype=stream_dtype,
+            first_chunk_frames=first_chunk_frames, mu_law=mu_law,
+            apply_preemphasis=apply_preemphasis,
+            compute_dtype=compute_dtype, voc_config=voc_config,
+        )
+        return
 
     d = synth._model.dims
     variables = synth._model.variables

@@ -123,3 +123,57 @@ def test_stream_is_chunked_playable_wav(server):
     pcm = np.frombuffer(body[44:], "<i2")
     assert len(pcm) > 400  # several chunks of real audio
     assert np.isfinite(pcm.astype(np.float32)).all()
+
+
+def test_stream_forward_tacotron_checkpoint():
+    """Round-4: /stream serves NAR checkpoints too — the ForwardTacotron
+    mel arrives in one pass and the chunked vocoder streams it (routing
+    inside stream_clone; ref forward_tacotron.py:185-204)."""
+    import urllib.error  # noqa: F401  (parity with module imports)
+
+    from rtvc_tpu.config.synthesizer import ForwardTacotronParams
+
+    enc.init_random_model(seed=0)
+    prev_voc = voc_inf._model  # restore the module vocoder afterwards
+    syn_cfg = ForwardTacotronParams(
+        embed_dims=16, series_embed_dims=8,
+        duration_conv_dims=12, duration_rnn_dims=8,
+        pitch_conv_dims=12, pitch_rnn_dims=8,
+        energy_conv_dims=12, energy_rnn_dims=8,
+        prenet_dims=16, prenet_k=2, prenet_num_highways=1,
+        rnn_dims=16, postnet_dims=12, postnet_k=2, postnet_num_highways=1,
+    )
+    synth = syn_inf.Synthesizer(model_fpath="unused", verbose=False)
+    synth.load_bundle(factories.init_syn_model(
+        factories.MODEL_TYPE_FORWARD_TACOTRON, seed=0, override_hp=syn_cfg
+    ))
+    voc_cfg = WaveRNNParams(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=32,
+        res_blocks=2, gen_target=400, gen_overlap=100,
+    )
+    voc_inf.load_bundle(factories.init_voc_model(
+        factories.MODEL_TYPE_RUNTIMERACER, seed=0, override_hp=voc_cfg
+    ))
+    srv = create_server(
+        port=0, synth=synth,
+        stream_kwargs=dict(chunk_frames=12, voc_ctx=6, voc_target=300,
+                           voc_overlap=100, use_pallas=False),
+    )
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        req = urllib.request.Request(
+            url + "/stream?text=nar+streaming", data=_prompt_wav_bytes(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            assert r.headers["Content-Type"] == "audio/wav"
+            body = r.read()
+        assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+        pcm = np.frombuffer(body[44:], "<i2")
+        assert len(pcm) > 400
+        assert np.isfinite(pcm.astype(np.float32)).all()
+    finally:
+        srv.shutdown()
+        voc_inf._model = prev_voc

@@ -252,3 +252,114 @@ def test_chunked_postnet_approximation_bounded(models):
     # bounded approximation: small mean deviation on the normalized scale
     err = np.mean(np.abs(chunked - full))
     assert err < 0.25, err
+
+
+# ---------------------------------------------------------------------------
+# NAR streaming (round-4: ForwardTacotron/FastPitch feed the chunked
+# vocoder — their mel arrives in one parallel pass, ref
+# forward_tacotron.py:185-204, so only the vocoder streams)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def nar_models():
+    from rtvc_tpu.config.synthesizer import ForwardTacotronParams
+
+    syn_cfg = ForwardTacotronParams(
+        embed_dims=16, series_embed_dims=8,
+        duration_conv_dims=12, duration_rnn_dims=8,
+        pitch_conv_dims=12, pitch_rnn_dims=8,
+        energy_conv_dims=12, energy_rnn_dims=8,
+        prenet_dims=16, prenet_k=2, prenet_num_highways=1,
+        rnn_dims=16, postnet_dims=12, postnet_k=2, postnet_num_highways=1,
+    )
+    syn_bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_FORWARD_TACOTRON, seed=0, override_hp=syn_cfg
+    )
+    synth = syn_inf.Synthesizer(model_fpath="unused", verbose=False)
+    synth.load_bundle(syn_bundle)
+
+    voc_cfg = WaveRNNParams(
+        rnn_dims=32, fc_dims=32, compute_dims=16, res_out_dims=32,
+        res_blocks=2,
+    )
+    voc_bundle = factories.init_voc_model(
+        factories.MODEL_TYPE_RUNTIMERACER, seed=0, override_hp=voc_cfg
+    )
+    return synth, voc_bundle
+
+
+def test_stream_vocode_length_invariant(models):
+    """Direct chunked vocoding of a precomputed mel totals (T−1)·hop — the
+    batch infer_waveform length for the same mel."""
+    from rtvc_tpu.inference.streaming import stream_vocode
+
+    _, voc = models
+    hop = voc.dims.hop_length
+    rng = np.random.default_rng(0)
+    for T, chunk, first in ((40, 12, None), (40, 12, 4), (37, 16, None)):
+        mel = rng.uniform(-4, 4, (80, T)).astype(np.float32)
+        chunks = list(stream_vocode(
+            voc.variables, voc.dims, mel, seed=3, chunk_frames=chunk,
+            voc_ctx=6, voc_target=300, voc_overlap=100, use_pallas=False,
+            first_chunk_frames=first, voc_config=voc.config,
+        ))
+        assert chunks and chunks[-1].final
+        assert [c.index for c in chunks] == list(range(len(chunks)))
+        total = sum(len(c.wav) for c in chunks)
+        assert total == (T - 1) * hop, (T, chunk, first, total)
+        for c in chunks:
+            assert np.isfinite(c.wav).all()
+
+
+def test_nar_stream_clone_routes_to_chunked_vocoder(nar_models):
+    """stream_clone on a ForwardTacotron synth streams the vocoder over the
+    one-pass mel; stream totals match the batch mel's (T−1)·hop."""
+    synth, voc = nar_models
+    hop = voc.dims.hop_length
+    mel = synth.synthesize_spectrograms([TEXT], [_embed()], seed=5)[0]
+    chunks = list(stream_clone(
+        synth, voc.variables, voc.dims, TEXT, _embed(), seed=5,
+        chunk_frames=12, voc_ctx=6, voc_target=300, voc_overlap=100,
+        use_pallas=False, voc_config=voc.config,
+    ))
+    assert chunks and chunks[-1].final and not any(
+        c.final for c in chunks[:-1]
+    )
+    total = sum(len(c.wav) for c in chunks)
+    assert total == (mel.shape[1] - 1) * hop, (mel.shape, total)
+    # mid-stream chunks keep body energy (no per-chunk fade)
+    for c in chunks[:-1]:
+        if len(c.wav) > 3 * hop:
+            body_rms = float(np.sqrt(np.mean(c.wav ** 2))) + 1e-12
+            tail_rms = float(np.sqrt(np.mean(c.wav[-hop:] ** 2)))
+            assert tail_rms > 0.2 * body_rms
+    # final chunk fades to silence like the batch path
+    assert abs(chunks[-1].wav[-1]) < 1e-3
+
+
+def test_fastpitch_stream_clone(nar_models):
+    """FastPitch checkpoints stream through the same NAR route."""
+    from rtvc_tpu.config.synthesizer import FastPitchParams
+
+    _, voc = nar_models
+    cfg = FastPitchParams(
+        embed_dims=16, n_heads=2, conv_kernel=3, conv_dims=32,
+        n_layers_enc=2, n_layers_dec=2,
+        series_d_model=8, series_n_heads=1, series_layers=1,
+        series_d_fft=16,
+    )
+    synth = syn_inf.Synthesizer(model_fpath="unused", verbose=False)
+    synth.load_bundle(factories.init_syn_model(
+        factories.MODEL_TYPE_FASTPITCH, seed=0, override_hp=cfg
+    ))
+    hop = voc.dims.hop_length
+    mel = synth.synthesize_spectrograms([TEXT], [_embed()], seed=2)[0]
+    chunks = list(stream_clone(
+        synth, voc.variables, voc.dims, TEXT, _embed(), seed=2,
+        chunk_frames=12, voc_ctx=6, voc_target=300, voc_overlap=100,
+        use_pallas=False, voc_config=voc.config,
+    ))
+    assert chunks and chunks[-1].final
+    total = sum(len(c.wav) for c in chunks)
+    assert total == (mel.shape[1] - 1) * hop
