@@ -1,7 +1,10 @@
 """Tracked audio-quality benchmark (the round-2 verdict's missing artifact).
 
-Overfits the tiny end-to-end pipeline on a synthetic 2-speaker corpus, then
-emits scalar audio-quality numbers that are diffable across rounds:
+Overfits the tiny end-to-end pipeline on a REAL-SPEECH corpus (the in-repo
+``samples/`` utterances — VCTK p240 + LibriSpeech 1320/3575, split into 2 s
+segments per speaker; synthetic-tone fallback when mp3 decode is
+unavailable), then emits scalar audio-quality numbers that are diffable
+across rounds:
 
   * ``clone_embed_cosine`` — clone a REFERENCE-SAMPLE prompt
     (samples/p240_00000.mp3) end-to-end through the public APIs and report
@@ -9,15 +12,22 @@ emits scalar audio-quality numbers that are diffable across rounds:
     autotune metric, ref: toolbox/toolbox.py:413-473);
   * ``gta_vocoded_mcd`` — mel-cepstral distortion between a training
     utterance's ground-truth audio and the vocoder's decode of its GTA mel
-    (the classic vocoder-fidelity number);
+    (the classic vocoder-fidelity number — real speech puts it on the
+    interpretable dB scale);
   * on TPU only, ``bf16_stream_sampled_divergence`` — SAMPLED (not greedy)
     decodes of the same mel under common randomness with f32 vs bf16
     conditioning streams, reported as mel-L2 divergence next to the
     different-seed divergence floor. Backs the bf16-stream serving default
     with a sampled-output metric rather than greedy agreement alone.
 
+Self-gating (round 4): each metric row carries ``delta_vs_prev`` against
+the committed BENCH_QUALITY.json from the previous round (same corpus tag
+only) and a ``status`` of pass/warn/fail — >10 %% cosine drop or >10 %%
+MCD rise fails the run (exit code 1) so a regression is machine-visible,
+not dependent on a human remembering last round's numbers.
+
 Deterministic seeds throughout; one JSON line per metric. Run standalone
-(CPU ok; ~3-6 min): results are recorded in BENCHMARKS.md's quality table.
+(CPU ok; ~5-10 min): results are recorded in BENCHMARKS.md's quality table.
 """
 from __future__ import annotations
 
@@ -28,29 +38,102 @@ from pathlib import Path
 
 import numpy as np
 
+CORPUS_TAG = "real_speech_v1"  # bump when the corpus/budget changes
+PREV_PATH = Path(__file__).parent / "BENCH_QUALITY.json"
 
-def build_corpus(root: Path) -> Path:
+
+def build_corpus(root: Path) -> str:
+    """Real-speech corpus from the in-repo fixtures: one 'speaker' per
+    sample file, utterances = 2 s segments. Returns the corpus tag
+    actually used (synthetic fallback when no mp3 decode)."""
     from rtvc_tpu.utils.io import save_wav_float
 
     sr = 16000
-    rng = np.random.default_rng(0)
     texts = ["the quick brown fox", "jumps over the lazy dog",
-             "a voice made of sine waves", "counting one two three four"]
-    for s in range(2):
-        d = root / "datasets" / "Tiny" / "speakers" / f"spk{s}"
-        d.mkdir(parents=True)
-        for u in range(4):
-            t = np.arange(int(2.0 * sr)) / sr
-            f0 = 120 + 80 * s + 10 * u
-            wav = (
-                0.4 * np.sin(2 * np.pi * f0 * t)
-                + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
-                + 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
-                + 0.005 * rng.standard_normal(len(t))
-            ).astype(np.float32)
-            save_wav_float(wav, d / f"utt{u}.wav", sr)
-            (d / f"utt{u}.txt").write_text(texts[u])
-    return root / "datasets"
+             "a voice made of real speech", "counting one two three four"]
+    try:
+        from rtvc_tpu.utils.io import load_wav, sample_path
+
+        speakers = {}
+        for s, name in enumerate(
+            ("p240_00000.mp3", "1320_00000.mp3", "3575_00000.mp3")
+        ):
+            wav, _ = load_wav(sample_path(name), target_sr=sr)
+            wav = wav / max(float(np.abs(wav).max()), 1e-9) * 0.8
+            seg = 2 * sr
+            utts = [wav[i : i + seg] for i in range(0, len(wav) - seg + 1, seg)]
+            if len(utts) < 3:  # speakers need ≥3 utterances for GE2E crops
+                utts.append(wav[-seg:])
+            speakers[f"spk{s}"] = utts[:4]
+        for spk, utts in speakers.items():
+            d = root / "datasets" / "Tiny" / "speakers" / spk
+            d.mkdir(parents=True)
+            for u, w in enumerate(utts):
+                save_wav_float(w.astype(np.float32), d / f"utt{u}.wav", sr)
+                (d / f"utt{u}.txt").write_text(texts[u % len(texts)])
+        return CORPUS_TAG
+    except Exception:
+        # no mp3 decode in this environment: harmonic-tone fallback
+        rng = np.random.default_rng(0)
+        for s in range(2):
+            d = root / "datasets" / "Tiny" / "speakers" / f"spk{s}"
+            d.mkdir(parents=True)
+            for u in range(4):
+                t = np.arange(int(2.0 * sr)) / sr
+                f0 = 120 + 80 * s + 10 * u
+                wav = (
+                    0.4 * np.sin(2 * np.pi * f0 * t)
+                    + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)
+                    + 0.1 * np.sin(2 * np.pi * 3 * f0 * t)
+                    + 0.005 * rng.standard_normal(len(t))
+                ).astype(np.float32)
+                save_wav_float(wav, d / f"utt{u}.wav", sr)
+                (d / f"utt{u}.txt").write_text(texts[u])
+        return "synthetic_tones"
+
+
+def _load_prev() -> dict:
+    """metric → previous row, from the committed BENCH_QUALITY.json."""
+    prev = {}
+    try:
+        for line in PREV_PATH.read_text().splitlines():
+            line = line.strip()
+            if line:
+                row = json.loads(line)
+                prev[row["metric"]] = row
+    except Exception:
+        pass
+    return prev
+
+
+# per-metric gate: (higher_is_better, fail_fraction, warn_fraction)
+_GATES = {
+    "clone_embed_cosine": (True, 0.10, 0.03),
+    "gta_vocoded_mcd": (False, 0.10, 0.03),
+    "gt_vocoded_mcd": (False, 0.10, 0.03),
+}
+
+
+def _delta_status(metric: str, value: float, prev_row: dict | None,
+                  corpus: str) -> dict:
+    """delta_vs_prev + pass/warn/fail vs the previous round's row (only
+    when the corpus tags match — cross-corpus numbers aren't comparable)."""
+    if not prev_row or prev_row.get("corpus") != corpus:
+        return {"status": "no_baseline"}
+    prev = float(prev_row["value"])
+    delta = value - prev
+    out = {"delta_vs_prev": round(delta, 4),
+           "delta_pct": round(100.0 * delta / max(abs(prev), 1e-9), 2)}
+    gate = _GATES.get(metric)
+    if gate is None:
+        out["status"] = "tracked"
+        return out
+    higher_better, fail_f, warn_f = gate
+    worsening = -delta if higher_better else delta
+    frac = worsening / max(abs(prev), 1e-9)
+    out["status"] = ("fail" if frac > fail_f
+                     else "warn" if frac > warn_f else "pass")
+    return out
 
 
 def train_tiny_pipeline(root: Path):
@@ -206,15 +289,21 @@ def main():
 
     enable_persistent_cache()
     results = []
+    prev = _load_prev()
+    corpus_used = {"tag": "?"}
 
     def emit(metric, value, **extra):
-        row = {"metric": metric, "value": round(float(value), 4), **extra}
+        value = round(float(value), 4)
+        row = {"metric": metric, "value": value, **extra,
+               "corpus": corpus_used["tag"]}
+        row.update(_delta_status(metric, value, prev.get(metric),
+                                 corpus_used["tag"]))
         results.append(row)
         print(json.dumps(row), flush=True)
 
     root = Path(tempfile.mkdtemp(prefix="rtvc_quality_"))
     try:
-        build_corpus(root)
+        corpus_used["tag"] = build_corpus(root)
         models_dir, syn_dir, voc_dir, taco_bundle, vout = train_tiny_pipeline(root)
 
         from rtvc_tpu.inference import encoder as enc_api
@@ -314,9 +403,18 @@ def main():
                  different_seed_floor=round(d_seed, 4),
                  ratio=round(d_dtype / max(d_seed, 1e-9), 3))
 
+        statuses = [r.get("status") for r in results]
+        gate = {"metric": "quality_gate",
+                "value": ("fail" if "fail" in statuses
+                          else "warn" if "warn" in statuses else "pass"),
+                "n_metrics": len(results)}
+        results.append(gate)
+        print(json.dumps(gate), flush=True)
         Path("BENCH_QUALITY.json").write_text(
             "\n".join(json.dumps(r) for r in results) + "\n"
         )
+        if gate["value"] == "fail":
+            raise SystemExit(1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -331,13 +429,16 @@ def _voc_cfg_of():
 
 
 if __name__ == "__main__":
+    import os
     import sys
 
-    if "--divergence_only" in sys.argv:
-        divergence_only()
-    else:
-        main()
-    import os
-
+    rc = 0
+    try:
+        if "--divergence_only" in sys.argv:
+            divergence_only()
+        else:
+            main()
+    except SystemExit as e:  # quality gate failed — keep the hard exit
+        rc = int(e.code or 0)
     sys.stdout.flush()
-    os._exit(0)
+    os._exit(rc)
