@@ -29,7 +29,10 @@ def main():
     parser.add_argument("--sweep", action="store_true",
                         help="batch-size scaling curves per stage")
     parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--stages", default="encoder,tacotron,fwd,fastpitch,wavernn",
+                        help="comma list: encoder,tacotron,fwd,fastpitch,wavernn")
     args = parser.parse_args()
+    stages = set(args.stages.split(","))
 
     import jax
     import jax.numpy as jnp
@@ -63,51 +66,64 @@ def main():
     def bench(metric, make_step_fn, run_step, batch_label, cost_args):
         """make_step_fn(dtype) → step; run_step(step) → carried loop fn."""
         for dt in dtypes:
-            step = make_step_fn(dt)
-            flops, bts = xla_cost(step, *cost_args)
-            carry = run_step(step)     # warm (compile + 1 step)
-            t0 = time.perf_counter()
-            for _ in range(N):
-                carry = run_step(step, carry)
-            dtm = (time.perf_counter() - t0) / N
-            print(json.dumps({
-                "metric": metric, "value": round(1.0 / dtm, 3),
-                "unit": "steps/s", "batch": batch_label, "dtype": dt_name(dt),
-                **summarize(flops, dtm, bts),
-            }), flush=True)
+            try:
+                step = make_step_fn(dt)
+                flops, bts = xla_cost(step, *cost_args)
+                carry = run_step(step)     # warm (compile + 1 step)
+                t0 = time.perf_counter()
+                for _ in range(N):
+                    carry = run_step(step, carry)
+                dtm = (time.perf_counter() - t0) / N
+                print(json.dumps({
+                    "metric": metric, "value": round(1.0 / dtm, 3),
+                    "unit": "steps/s", "batch": batch_label,
+                    "dtype": dt_name(dt),
+                    **summarize(flops, dtm, bts),
+                }), flush=True)
+            except Exception as e:  # keep sweeping: an OOM point IS a datum
+                msg = str(e)
+                oom = "memory" in msg.lower() or "hbm" in msg.lower()
+                print(json.dumps({
+                    "metric": metric, "batch": batch_label,
+                    "dtype": dt_name(dt),
+                    "error": "oom" if oom else msg[:200],
+                }), flush=True)
 
     # ---- encoder: 64 spk × 10 utt × 160 frames ------------------------------
-    model = SpeakerEncoder()
-    S, U = 64, 10
-    ebatch = jnp.asarray(
-        rng.standard_normal((S * U, 160, 40)).astype(np.float32)
-    )
-    eparams = {
-        "model": model.init(jax.random.PRNGKey(0), ebatch)["params"],
-        "similarity": init_similarity_params(),
-    }
+    if "encoder" in stages:
+        model = SpeakerEncoder()
+        S, U = 64, 10
+        ebatch = jnp.asarray(
+            rng.standard_normal((S * U, 160, 40)).astype(np.float32)
+        )
+        eparams = {
+            "model": model.init(jax.random.PRNGKey(0), ebatch)["params"],
+            "similarity": init_similarity_params(),
+        }
 
-    def enc_run(step, carry=None):
-        if carry is None:
-            carry = (jax.tree_util.tree_map(jnp.copy, eparams),
-                     optimizer.init(eparams))
-        p, o = carry
-        p, o, st, _, _ = step(p, o, ebatch)
-        float(st["loss"])
-        return (p, o)
+        def enc_run(step, carry=None):
+            if carry is None:
+                carry = (jax.tree_util.tree_map(jnp.copy, eparams),
+                         optimizer.init(eparams))
+            p, o = carry
+            p, o, st, _, _ = step(p, o, ebatch)
+            float(st["loss"])
+            return (p, o)
 
-    bench(
-        "encoder_train",
-        lambda dt: make_encoder_train_step(model, optimizer, S, U,
-                                           compute_dtype=dt),
-        enc_run, f"{S}x{U}x160",
-        (eparams, optimizer.init(eparams), ebatch),
-    )
+        bench(
+            "encoder_train",
+            lambda dt: make_encoder_train_step(model, optimizer, S, U,
+                                               compute_dtype=dt),
+            enc_run, f"{S}x{U}x160",
+            (eparams, optimizer.init(eparams), ebatch),
+        )
 
     # ---- tacotron: first-session schedule (r=7, batch 112) ------------------
-    bundle = factories.init_syn_model(factories.MODEL_TYPE_TACOTRON, seed=0)
-    d = bundle.dims
     key = jax.random.PRNGKey(0)
+    if "tacotron" in stages:
+        bundle = factories.init_syn_model(factories.MODEL_TYPE_TACOTRON,
+                                          seed=0)
+        d = bundle.dims
 
     def taco_batch(B, frames=896, T_text=160):
         return {
@@ -143,12 +159,65 @@ def main():
              tb, key),
         )
 
-    taco_bench(112)
-    if args.sweep:
-        for B in (28, 56, 224):
-            taco_bench(B)
+    if "tacotron" in stages:
+        taco_bench(112)
+        if args.sweep:
+            for B in (28, 56, 224):
+                taco_bench(B)
+
+    # ---- NAR synthesizers: ForwardTacotron / FastPitch (batch 48) ----------
+    def nar_bench(model_type, metric, B=48, T_text=160, dur=5):
+        from rtvc_tpu.train.steps import make_nar_synth_train_step
+
+        nb = factories.init_syn_model(model_type, seed=0)
+        nd, ncfg = nb.dims, nb.config
+        L = T_text * dur
+        durations = np.full((B, T_text), float(dur), np.float32)
+        nbatch = {
+            "chars": jnp.asarray(
+                rng.integers(1, nd.num_chars, (B, T_text)), jnp.int32),
+            "mels": jnp.asarray(
+                rng.uniform(-4, 4, (B, nd.n_mels, L)), jnp.float32),
+            "embeds": jnp.asarray(
+                rng.standard_normal((B, 768)), jnp.float32),
+            "durations": jnp.asarray(durations),
+            "spec_lens": jnp.full((B,), L, jnp.int32),
+            "x_lens": jnp.full((B,), T_text, jnp.int32),
+            "pitch": jnp.asarray(
+                rng.standard_normal((B, T_text)), jnp.float32),
+            "energy": jnp.asarray(
+                rng.standard_normal((B, T_text)), jnp.float32),
+        }
+        nv = nb.variables
+
+        def run(step, carry=None):
+            if carry is None:
+                carry = (jax.tree_util.tree_map(jnp.copy, nv["params"]),
+                         jax.tree_util.tree_map(jnp.copy, nv["batch_stats"]),
+                         optimizer.init(nv["params"]))
+            p, s, o = carry
+            p, s, o, st = step(p, s, o, nbatch, key)
+            float(st["loss"])
+            return (p, s, o)
+
+        bench(
+            metric,
+            lambda dt: make_nar_synth_train_step(model_type, nd, optimizer,
+                                                 ncfg, compute_dtype=dt),
+            run, f"{B}x{L}f",
+            (nv["params"], nv["batch_stats"], optimizer.init(nv["params"]),
+             nbatch, key),
+        )
+
+    if "fwd" in stages:
+        nar_bench(factories.MODEL_TYPE_FORWARD_TACOTRON,
+                  "forward_tacotron_train")
+    if "fastpitch" in stages:
+        nar_bench(factories.MODEL_TYPE_FASTPITCH, "fastpitch_train")
 
     # ---- wavernn: first-session schedule (batch 40, seq 1000) ---------------
+    if "wavernn" not in stages:
+        return
     vb = factories.init_voc_model(factories.MODEL_TYPE_FATCHORD, seed=0)
     vd = vb.dims
     seq = vd.hop_length * 5

@@ -33,11 +33,12 @@ if __name__ == "__main__":
                         help="Ignore any saved model for this run_id and "
                              "restart from scratch.")
     parser.add_argument("--profile", action="store_true")
-    parser.add_argument("--compute_dtype", choices=["f32", "bf16"],
-                        default="f32",
-                        help="bf16 activates the mixed-precision "
-                             "training policy (master params stay "
-                             "f32; see BENCHMARKS.md).")
+    parser.add_argument("--compute_dtype",
+                        choices=["auto", "f32", "bf16"], default="auto",
+                        help="auto = bf16 on TPU (measured 1.2-1.6x "
+                             "steps/s, <5%% loss-trajectory deviation; "
+                             "BENCHMARKS.md), f32 elsewhere. Master "
+                             "params always stay f32.")
     parser.add_argument("--dashboard", type=int, default=None, metavar="PORT",
                         help="Serve a live metrics dashboard on this port "
                              "(visdom replacement; 8097 = visdom default)")

@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from rtvc_tpu.ops.scanning import scan_unroll
+
 
 def _matmul(x: jax.Array, w: jax.Array) -> jax.Array:
     from rtvc_tpu.ops.precision import matmul_dtype
@@ -96,7 +98,8 @@ class LSTM(nn.Module):
                 return (h, c), h
 
             (h_T, c_T), ys = jax.lax.scan(
-                step, (h0, c0), jnp.swapaxes(xg, 0, 1)
+                step, (h0, c0), jnp.swapaxes(xg, 0, 1),
+                unroll=scan_unroll(),
             )
             inputs = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
             h_last.append(h_T)
@@ -222,7 +225,8 @@ class GRU(nn.Module):
                     h = gru_step(xg_t, h, w_hh_t, b_hh)
                     return h, h
 
-                h_T, ys = jax.lax.scan(step, h_init, jnp.swapaxes(xg, 0, 1))
+                h_T, ys = jax.lax.scan(step, h_init, jnp.swapaxes(xg, 0, 1),
+                                       unroll=scan_unroll())
             else:
 
                 def step(h, inp):
@@ -234,6 +238,7 @@ class GRU(nn.Module):
                 h_T, ys = jax.lax.scan(
                     step, h_init,
                     (jnp.swapaxes(xg, 0, 1), jnp.swapaxes(m, 0, 1)),
+                    unroll=scan_unroll(),
                 )
             return jnp.swapaxes(ys, 0, 1), h_T
 

@@ -472,8 +472,11 @@ def tacotron_forward(
         )
         return carry, (m, scores, stop)
 
+    from rtvc_tpu.ops.scanning import scan_unroll
+
     _, (mel_steps, attn, stops) = jax.lax.scan(
-        body, carry0, (jnp.swapaxes(teacher, 0, 1), step_keys)
+        body, carry0, (jnp.swapaxes(teacher, 0, 1), step_keys),
+        unroll=scan_unroll(),
     )
     # mel_steps: (n_iters, B, n_mels, r) → (B, n_mels, steps)
     mel_out = jnp.moveaxis(mel_steps, 0, 2).reshape(B, d.n_mels, steps)

@@ -178,8 +178,11 @@ def _gru_seq(p: Dict, x: jax.Array) -> jax.Array:
         h = gru_step(xg_t, h, w_hh_t, b_hh)
         return h, h
 
+    from rtvc_tpu.ops.scanning import scan_unroll
+
     _, ys = jax.lax.scan(
-        step, jnp.zeros((B, H), dtype=xg.dtype), jnp.swapaxes(xg, 0, 1)
+        step, jnp.zeros((B, H), dtype=xg.dtype), jnp.swapaxes(xg, 0, 1),
+        unroll=scan_unroll(),
     )
     return jnp.swapaxes(ys, 0, 1)
 

@@ -60,10 +60,18 @@ def cast_floats(tree: Any, dtype) -> Any:
 
 
 def resolve(name) -> Any:
-    """'bf16'/'bfloat16'/'f32'/'float32' (or a dtype) → dtype object."""
+    """'bf16'/'bfloat16'/'f32'/'float32'/'auto' (or a dtype) → dtype object.
+
+    ``auto`` picks bf16 on TPU (measured 1.2–1.6× steps/s across every
+    stage with <5 % loss-trajectory deviation — BENCHMARKS.md round-4
+    ablation, tests/test_learning.py) and f32 elsewhere (CPU has no
+    native bf16; the virtual-device test meshes stay deterministic)."""
     if name is None:
         return jnp.float32
     if isinstance(name, str):
+        if name == "auto":
+            return (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
         return {
             "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
             "f32": jnp.float32, "float32": jnp.float32,

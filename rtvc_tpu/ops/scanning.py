@@ -1,0 +1,23 @@
+"""Scan policy for the recurrent training paths.
+
+``lax.scan`` emits one XLA While iteration per timestep; ``unroll=k``
+replicates the body k times per iteration, amortizing loop overhead and
+letting XLA fuse/pipeline across consecutive steps — worthwhile for the
+small per-step matmuls of teacher-forced RNN training (the reference has
+no equivalent knob; cuDNN RNNs hide this inside the kernel).
+
+The default is chosen by the round-4 ablation in BENCHMARKS.md
+(``bench_train.py`` with ``RTVC_SCAN_UNROLL`` swept); override via the
+environment variable. Semantics are unchanged for any value — unroll only
+changes code layout, not the math.
+"""
+from __future__ import annotations
+
+import os
+
+_DEFAULT_UNROLL = 2
+
+
+def scan_unroll() -> int:
+    """Unroll factor for training-path recurrent scans (trace-time)."""
+    return int(os.environ.get("RTVC_SCAN_UNROLL", str(_DEFAULT_UNROLL)))

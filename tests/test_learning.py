@@ -272,3 +272,19 @@ class TestMixedPrecisionLearns:
             assert losses[-1] < 0.5 * losses[0], (dt, losses[::6])
         rel = abs(first[jnp.bfloat16] - first[jnp.float32]) / first[jnp.float32]
         assert rel < 0.05, first
+
+
+class TestAutoPolicy:
+    def test_resolve_auto_matches_backend(self):
+        """'auto' (the train-CLI default) = bf16 on TPU, f32 elsewhere."""
+        import jax
+        import jax.numpy as jnp
+
+        from rtvc_tpu.ops import precision
+
+        dt = precision.resolve("auto")
+        expected = (jnp.bfloat16 if jax.default_backend() == "tpu"
+                    else jnp.float32)
+        assert dt == expected
+        assert precision.resolve("bf16") == jnp.bfloat16
+        assert precision.resolve(None) == jnp.float32
