@@ -217,7 +217,9 @@ def forward_transformer(
     """PositionalEncoding + FFT stack + final norm (ref: fast_pitch.py:96-133)."""
     T = x.shape[1]
     pe = jnp.asarray(positional_encoding_table(x.shape[-1])[:T])
-    x = x + p["pos_encoder"]["scale"] * pe[None, :, :]
+    # keep the compute dtype: the f32 PE table must not promote a bf16
+    # stream back to f32 (the convs below require matching operand dtypes)
+    x = x + (p["pos_encoder"]["scale"] * pe[None, :, :]).astype(x.dtype)
     if train and dropout > 0 and rng is not None:
         rng, sub = jax.random.split(rng)
         keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)

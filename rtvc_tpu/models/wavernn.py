@@ -172,6 +172,19 @@ def _gru_seq(p: Dict, x: jax.Array) -> jax.Array:
     w_hh_t = p["weight_hh_l0"].T
     b_hh = p["bias_hh_l0"]
 
+    from rtvc_tpu.ops.pallas.gru_train_kernel import (
+        fused_available,
+        gru_seq_fused,
+    )
+
+    if H % 128 == 0 and fused_available():
+        # Fused Pallas sequence kernel: W_hh VMEM-resident for the whole
+        # sequence, custom VJP with the dh chain in a reverse-tile kernel
+        # (interpret mode off-TPU so forcing RTVC_FUSED_GRU_TRAIN=1 stays
+        # testable on CPU).
+        return gru_seq_fused(w_hh_t, b_hh, xg,
+                             jax.default_backend() != "tpu")
+
     from rtvc_tpu.models.layers import gru_step
 
     def step(h, xg_t):

@@ -274,6 +274,79 @@ class TestMixedPrecisionLearns:
         assert rel < 0.05, first
 
 
+
+    def test_nar_synths_bf16_match_and_learn(self):
+        """ForwardTacotron AND FastPitch under the bf16 policy — FastPitch
+        caught a real bug here: the f32 positional-encoding table promoted
+        the stream back to f32 and crashed the FFT-block convs on dtype
+        mismatch (fast_pitch.py:forward_transformer)."""
+        from rtvc_tpu.config.synthesizer import FastPitchParams
+        from rtvc_tpu.train.steps import make_nar_synth_train_step
+
+        fp_cfg = FastPitchParams(
+            embed_dims=16, n_heads=2, conv_kernel=3, conv_dims=32,
+            n_layers_enc=2, n_layers_dec=2,
+            series_d_model=8, series_n_heads=1, series_layers=1,
+            series_d_fft=16,
+        )
+        ft_cfg = ForwardTacotronParams(
+            embed_dims=16, series_embed_dims=8,
+            duration_conv_dims=12, duration_rnn_dims=8,
+            pitch_conv_dims=12, pitch_rnn_dims=8,
+            energy_conv_dims=12, energy_rnn_dims=8,
+            prenet_dims=16, prenet_k=2, prenet_num_highways=1,
+            rnn_dims=16, postnet_dims=12, postnet_k=2,
+            postnet_num_highways=1,
+        )
+        cases = [
+            (factories.MODEL_TYPE_FORWARD_TACOTRON, ft_cfg),
+            (factories.MODEL_TYPE_FASTPITCH, fp_cfg),
+        ]
+        rng = np.random.default_rng(0)
+        B, T = 2, 6
+        dur = np.full((B, T), 2.0, np.float32)
+        L = int(dur[0].sum())
+        batch = {
+            "chars": jnp.asarray(rng.integers(1, 20, (B, T)), jnp.int32),
+            "mels": jnp.asarray(rng.uniform(-4, 4, (B, 80, L)), jnp.float32),
+            "embeds": jnp.asarray(rng.standard_normal((B, 768)), jnp.float32),
+            "durations": jnp.asarray(dur),
+            "spec_lens": jnp.asarray([L, L]),
+            "x_lens": jnp.asarray([T, T]),
+            "pitch": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+            "energy": jnp.asarray(rng.standard_normal((B, T)), jnp.float32),
+        }
+        optimizer = optax.adam(3e-3)
+        for model_type, cfg in cases:
+            bundle = factories.init_syn_model(model_type, override_hp=cfg)
+            first = {}
+            for dt in (jnp.float32, jnp.bfloat16):
+                step = make_nar_synth_train_step(
+                    model_type, bundle.dims, optimizer, cfg,
+                    compute_dtype=dt)
+                params = jax.tree_util.tree_map(
+                    jnp.copy, bundle.variables["params"])
+                stats = jax.tree_util.tree_map(
+                    jnp.copy, bundle.variables["batch_stats"])
+                opt_state = optimizer.init(params)
+                losses = []
+                for i in range(30):
+                    params, stats, opt_state, out = step(
+                        params, stats, opt_state, batch,
+                        jax.random.fold_in(jax.random.PRNGKey(0), i))
+                    losses.append(float(out["loss"]))
+                first[dt] = losses[0]
+                assert np.isfinite(losses).all(), model_type
+                assert losses[-1] < 0.97 * losses[0], (model_type, dt,
+                                                       losses[::6])
+                for leaf in jax.tree_util.tree_leaves((params, stats)):
+                    if jnp.issubdtype(leaf.dtype, jnp.inexact):
+                        assert leaf.dtype == jnp.float32
+            rel = abs(first[jnp.bfloat16] - first[jnp.float32]) / abs(
+                first[jnp.float32])
+            assert rel < 0.05, (model_type, first)
+
+
 class TestAutoPolicy:
     def test_resolve_auto_matches_backend(self):
         """'auto' (the train-CLI default) = bf16 on TPU, f32 elsewhere."""

@@ -277,3 +277,111 @@ class TestWaveRNNKernel:
         assert (got >= -1.0).all() and (got <= 1.0).all()
         # logistic-noise draws must actually perturb the samples
         assert got.std() > 1e-4
+
+
+class TestGRUTrainKernel:
+    """Fused train-time GRU (forward + custom VJP) vs the lax.scan path."""
+
+    def _ref(self, w_hh_t, b_hh, xg):
+        from rtvc_tpu.models.layers import gru_step
+
+        B, T, threeH = xg.shape
+        H = threeH // 3
+
+        def step(h, xg_t):
+            h = gru_step(xg_t, h, w_hh_t, b_hh)
+            return h, h
+
+        _, ys = jax.lax.scan(step, jnp.zeros((B, H), xg.dtype),
+                             jnp.swapaxes(xg, 0, 1))
+        return jnp.swapaxes(ys, 0, 1)
+
+    def _inputs(self, B=3, T=37, H=128, seed=0):
+        rng = np.random.default_rng(seed)
+        w_hh_t = jnp.asarray(
+            rng.standard_normal((H, 3 * H)) / np.sqrt(H), jnp.float32)
+        b_hh = jnp.asarray(rng.standard_normal(3 * H) * 0.1, jnp.float32)
+        xg = jnp.asarray(rng.standard_normal((B, T, 3 * H)), jnp.float32)
+        return w_hh_t, b_hh, xg
+
+    def test_forward_matches_scan(self):
+        from rtvc_tpu.ops.pallas.gru_train_kernel import gru_seq_fused
+
+        w, b, xg = self._inputs()
+        got = np.asarray(gru_seq_fused(w, b, xg, True))
+        want = np.asarray(self._ref(w, b, xg))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_gradients_match_scan_ad(self):
+        from rtvc_tpu.ops.pallas.gru_train_kernel import gru_seq_fused
+
+        w, b, xg = self._inputs(seed=1)
+        # weight the loss so every (t, b, h) position carries a distinct
+        # cotangent — a plain sum would hide transposition bugs
+        key = jax.random.PRNGKey(7)
+        wgt = jax.random.normal(key, (xg.shape[0], xg.shape[1], 128))
+
+        def loss_fused(w_, b_, xg_):
+            return jnp.sum(gru_seq_fused(w_, b_, xg_, True) * wgt)
+
+        def loss_ref(w_, b_, xg_):
+            return jnp.sum(self._ref(w_, b_, xg_) * wgt)
+
+        g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(w, b, xg)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(w, b, xg)
+        for gf, gr, name in zip(g_fused, g_ref, ("w_hh_t", "b_hh", "xg")):
+            np.testing.assert_allclose(
+                np.asarray(gf), np.asarray(gr), atol=5e-4,
+                rtol=1e-4, err_msg=name)
+
+    def test_unpadded_tile_boundary(self):
+        """T an exact multiple of the tile and B of the sublane count."""
+        from rtvc_tpu.ops.pallas.gru_train_kernel import gru_seq_fused
+
+        w, b, xg = self._inputs(B=8, T=32, seed=2)
+        got = np.asarray(gru_seq_fused(w, b, xg, True))
+        want = np.asarray(self._ref(w, b, xg))
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_wavernn_forward_integration(self, monkeypatch):
+        """wavernn_forward routes its GRUs through the fused kernel when
+        forced (H multiple of 128): loss + grads match the scan path."""
+        from rtvc_tpu.models.wavernn import (
+            VOC_FATCHORD,
+            WaveRNNDims,
+            init_wavernn,
+            wavernn_forward,
+        )
+
+        d = WaveRNNDims(
+            variant=VOC_FATCHORD, mode="RAW", rnn_dims=128, fc_dims=16,
+            bits=6, pad=2, upsample_factors=(2, 2, 5), feat_dims=10,
+            compute_dims=8, res_out_dims=16, res_blocks=1, hop_length=20,
+            sample_rate=1000,
+        )
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        rng = np.random.default_rng(3)
+        n_frames = 2 + 2 * d.pad
+        mels = jnp.asarray(rng.uniform(-1, 1, (2, d.feat_dims, n_frames)),
+                           jnp.float32)
+        T = 2 * d.hop_length
+        x = jnp.asarray(rng.uniform(-1, 1, (2, T)), jnp.float32)
+
+        def loss(params):
+            out, _ = wavernn_forward(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                d, x, mels, train=True)
+            return jnp.mean(out**2)
+
+        monkeypatch.setenv("RTVC_FUSED_GRU_TRAIN", "0")
+        l_scan, g_scan = jax.value_and_grad(loss)(variables["params"])
+        monkeypatch.setenv("RTVC_FUSED_GRU_TRAIN", "1")
+        l_fused, g_fused = jax.value_and_grad(loss)(variables["params"])
+
+        np.testing.assert_allclose(float(l_fused), float(l_scan), rtol=1e-5)
+        flat_s = jax.tree_util.tree_leaves(g_scan)
+        flat_f = jax.tree_util.tree_leaves(g_fused)
+        for a, b in zip(flat_f, flat_s):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=3e-5, rtol=1e-4)
