@@ -89,6 +89,23 @@ class LSTM(nn.Module):
             xg = _matmul(inputs, w_ih.T) + (b_ih + b_hh)  # (B, T, 4H)
             w_hh_t = w_hh.T  # (H, 4H)
 
+            from rtvc_tpu.ops.pallas.lstm_train_kernel import (
+                fused_available,
+                lstm_seq_fused,
+            )
+
+            if H % 128 == 0 and fused_available():
+                # Fused Pallas sequence kernel (W_hh VMEM-resident, custom
+                # VJP with the (dh, dc) chain in a reverse-tile kernel;
+                # interpret mode off-TPU keeps RTVC_FUSED_LSTM_TRAIN=1
+                # testable on CPU).
+                inputs, h_T, c_T = lstm_seq_fused(
+                    w_hh_t, xg, h0, c0, jax.default_backend() != "tpu"
+                )
+                h_last.append(h_T)
+                c_last.append(c_T)
+                continue
+
             def step(carry, xg_t):
                 h, c = carry
                 gates = xg_t + _matmul(h, w_hh_t)

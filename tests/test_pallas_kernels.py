@@ -385,3 +385,118 @@ class TestGRUTrainKernel:
         for a, b in zip(flat_f, flat_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=3e-5, rtol=1e-4)
+
+
+class TestLSTMTrainKernel:
+    """Fused train-time LSTM (forward + custom VJP) vs the lax.scan path."""
+
+    def _ref(self, w_hh_t, xg, h0, c0):
+        def step(carry, xg_t):
+            h, c = carry
+            gates = xg_t + jnp.dot(h, w_hh_t)
+            i, f, g, o = jnp.split(gates, 4, axis=-1)
+            c = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+            h = jax.nn.sigmoid(o) * jnp.tanh(c)
+            return (h, c), h
+
+        (hT, cT), ys = jax.lax.scan(step, (h0, c0), jnp.swapaxes(xg, 0, 1))
+        return jnp.swapaxes(ys, 0, 1), hT, cT
+
+    def _inputs(self, B=3, T=37, H=128, seed=0):
+        rng = np.random.default_rng(seed)
+        w = jnp.asarray(rng.standard_normal((H, 4 * H)) / np.sqrt(H),
+                        jnp.float32)
+        xg = jnp.asarray(rng.standard_normal((B, T, 4 * H)), jnp.float32)
+        h0 = jnp.asarray(rng.standard_normal((B, H)) * 0.3, jnp.float32)
+        c0 = jnp.asarray(rng.standard_normal((B, H)) * 0.3, jnp.float32)
+        return w, xg, h0, c0
+
+    def test_forward_matches_scan(self):
+        from rtvc_tpu.ops.pallas.lstm_train_kernel import lstm_seq_fused
+
+        w, xg, h0, c0 = self._inputs()
+        ys, hT, cT = lstm_seq_fused(w, xg, h0, c0, True)
+        rys, rhT, rcT = self._ref(w, xg, h0, c0)
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(rys),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(hT), np.asarray(rhT),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cT), np.asarray(rcT),
+                                   atol=1e-5)
+
+    @pytest.mark.parametrize("T", [32, 37])  # exact tile and padded tail
+    def test_gradients_match_scan_ad(self, T):
+        from rtvc_tpu.ops.pallas.lstm_train_kernel import lstm_seq_fused
+
+        w, xg, h0, c0 = self._inputs(T=T, seed=1)
+        key = jax.random.PRNGKey(5)
+        k1, k2 = jax.random.split(key)
+        wgt = jax.random.normal(k1, (xg.shape[0], xg.shape[1], 128))
+        wgt_h = jax.random.normal(k2, (xg.shape[0], 128))
+
+        def loss_fused(w_, xg_, h0_, c0_):
+            ys, hT, _ = lstm_seq_fused(w_, xg_, h0_, c0_, True)
+            return jnp.sum(ys * wgt) + jnp.sum(hT * wgt_h)
+
+        def loss_ref(w_, xg_, h0_, c0_):
+            ys, hT, _ = self._ref(w_, xg_, h0_, c0_)
+            return jnp.sum(ys * wgt) + jnp.sum(hT * wgt_h)
+
+        g_f = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(w, xg, h0, c0)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(w, xg, h0, c0)
+        for a, b, name in zip(g_f, g_r, ("w_hh_t", "xg", "h0", "c0")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-4, err_msg=name)
+
+    def test_cT_cotangent_exact_tile(self):
+        """c_T's cotangent path (only defined when T is tile-exact; the
+        encoder never consumes c_T, but keep the exact case honest)."""
+        from rtvc_tpu.ops.pallas.lstm_train_kernel import lstm_seq_fused
+
+        w, xg, h0, c0 = self._inputs(T=32, seed=2)
+
+        def loss_fused(c0_):
+            _, _, cT = lstm_seq_fused(w, xg, h0, c0_, True)
+            return jnp.sum(cT**2)
+
+        def loss_ref(c0_):
+            _, _, cT = self._ref(w, xg, h0, c0_)
+            return jnp.sum(cT**2)
+
+        np.testing.assert_allclose(
+            np.asarray(jax.grad(loss_fused)(c0)),
+            np.asarray(jax.grad(loss_ref)(c0)), atol=5e-4, rtol=1e-4)
+
+    def test_speaker_encoder_integration(self, monkeypatch):
+        """The encoder's 3-layer LSTM-256 routes through the fused kernel
+        when forced: embeddings + grads match the scan path."""
+        from rtvc_tpu.config.encoder import (
+            EncoderDataParams,
+            EncoderModelParams,
+        )
+        from rtvc_tpu.models.speaker_encoder import SpeakerEncoder
+
+        model = SpeakerEncoder(
+            model=EncoderModelParams(model_hidden_size=256,
+                                     model_embedding_size=64,
+                                     model_num_layers=2),
+            data=EncoderDataParams(),
+        )
+        rng = np.random.default_rng(4)
+        batch = jnp.asarray(
+            rng.standard_normal((4, 24, 40)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+
+        def loss(p):
+            return jnp.sum(model.apply({"params": p}, batch) ** 2)
+
+        monkeypatch.setenv("RTVC_FUSED_LSTM_TRAIN", "0")
+        l_scan, g_scan = jax.value_and_grad(loss)(params)
+        monkeypatch.setenv("RTVC_FUSED_LSTM_TRAIN", "1")
+        l_fused, g_fused = jax.value_and_grad(loss)(params)
+        np.testing.assert_allclose(float(l_fused), float(l_scan),
+                                   rtol=1e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(g_fused),
+                        jax.tree_util.tree_leaves(g_scan)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-4, rtol=1e-3)

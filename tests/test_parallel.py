@@ -208,3 +208,60 @@ class TestShardedGeneration:
             xfade_and_unfold(samples[:n_folds], target, overlap)
         )
         np.testing.assert_allclose(out_sharded, expected, atol=1e-4)
+
+
+class TestFusedKernelsUnderDP:
+    """The fused train-time recurrent kernels (ops/pallas/{gru,lstm}
+    _train_kernel) sit inside auto-partitioned DP steps. XLA's SPMD
+    partitioner treats the Pallas custom call as replicated (gathers the
+    batch, runs the full kernel per device) — correctness must hold even
+    though the kernel itself doesn't shard; this pins that down at
+    H=128 with the fused path FORCED on the CPU mesh."""
+
+    def test_fused_lstm_dp_equals_single_device(self, mesh8, monkeypatch):
+        import optax
+
+        from rtvc_tpu.config.encoder import (
+            EncoderDataParams,
+            EncoderModelParams,
+        )
+        from rtvc_tpu.models.speaker_encoder import (
+            SpeakerEncoder,
+            init_similarity_params,
+        )
+        from rtvc_tpu.parallel import mesh as pmesh
+        from rtvc_tpu.train.steps import make_encoder_train_step
+
+        monkeypatch.setenv("RTVC_FUSED_LSTM_TRAIN", "1")
+        S, U, T, n_mels = 8, 2, 16, 10
+        model = SpeakerEncoder(
+            model=EncoderModelParams(model_hidden_size=128,
+                                     model_embedding_size=16,
+                                     model_num_layers=2),
+            data=EncoderDataParams(),
+        )
+        rng = np.random.default_rng(7)
+        batch = rng.standard_normal((S * U, T, n_mels)).astype(np.float32)
+        params = {
+            "model": model.init(jax.random.PRNGKey(0),
+                                jnp.asarray(batch))["params"],
+            "similarity": init_similarity_params(),
+        }
+        optimizer = optax.adam(1e-3)
+        step_fn = make_encoder_train_step(model, optimizer, S, U)
+
+        p1 = jax.tree_util.tree_map(jnp.copy, params)
+        o1 = optimizer.init(p1)
+        p1, o1, st1, _, _ = step_fn(p1, o1, jnp.asarray(batch))
+
+        with mesh8:
+            sharded = pmesh.shard_batch(jnp.asarray(batch), mesh8)
+            p8 = jax.tree_util.tree_map(jnp.copy, params)
+            o8 = optimizer.init(p8)
+            p8, o8, st8, _, _ = step_fn(p8, o8, sharded)
+
+        assert abs(float(st1["loss"]) - float(st8["loss"])) < 1e-4
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(p8)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
