@@ -277,54 +277,39 @@ def init_decoder_carry(d: TacotronDims, batch: int, t_text: int,
     )
 
 
-def decoder_step(
+def _prenet_nodrop(params: Dict, x: jax.Array, cdt) -> jax.Array:
+    """Deterministic PreNet (dropout skipped) — the cross-backend parity
+    hook (the reference keeps prenet dropout on even at inference)."""
+    h = jax.nn.relu(
+        jnp.dot(x, params["fc1"]["weight"].T,
+                preferred_element_type=cdt) + params["fc1"]["bias"]
+    )
+    return jax.nn.relu(
+        jnp.dot(h, params["fc2"]["weight"].T,
+                preferred_element_type=cdt) + params["fc2"]["bias"]
+    )
+
+
+def _decoder_recurrence(
     params: Dict,
     d: TacotronDims,
-    r: int,
     carry: DecoderCarry,
-    prenet_in: jax.Array,
+    xg: jax.Array,
     encoder_seq: jax.Array,
     encoder_seq_proj: jax.Array,
     char_mask: jax.Array,
-    rng: jax.Array,
+    k_zo1: jax.Array,
+    k_zo2: jax.Array,
     train: bool,
-    prenet_dropout: bool = True,
-) -> Tuple[DecoderCarry, jax.Array, jax.Array, jax.Array]:
-    """One decoder iteration → (carry, mels (B, n_mels, r), scores (B, T),
-    stop (B, 1)) (ref: tacotron.py:244-299). ``prenet_dropout=False`` is a
-    deterministic test hook for cross-backend parity (the reference keeps
-    prenet dropout on even at inference)."""
+) -> Tuple[DecoderCarry, jax.Array, jax.Array]:
+    """The truly sequential half of one decoder iteration: attention GRU →
+    LSA → context → 2× zoneout LSTMs. ``xg`` is the attention-GRU input
+    projection (input-side matmul + bias_ih) — precomputed by the caller so
+    the teacher-forced train path can hoist its prenet-dependent half out
+    of the scan. Returns (carry, decoder state x (B, lstm_dims),
+    scores (B, T_text)); the caller projects mels/stop from x and
+    carry.context_vec."""
     mods = _modules(d)
-    k_pre, k_zo1, k_zo2 = jax.random.split(rng, 3)
-
-    from rtvc_tpu.ops.precision import matmul_dtype
-
-    cdt = matmul_dtype()
-    if prenet_dropout:
-        prenet_out = mods["dec_prenet"].apply(
-            {"params": params["dec_prenet"]}, prenet_in, rngs={"dropout": k_pre}
-        )
-    else:
-        pp = params["dec_prenet"]
-        h = jax.nn.relu(
-            jnp.dot(prenet_in, pp["fc1"]["weight"].T,
-                    preferred_element_type=cdt) + pp["fc1"]["bias"]
-        )
-        prenet_out = jax.nn.relu(
-            jnp.dot(h, pp["fc2"]["weight"].T,
-                    preferred_element_type=cdt) + pp["fc2"]["bias"]
-        )
-
-    # Attention GRU (context_vec is carried f32; cast down so the concat
-    # stays in the compute dtype under the bf16 policy)
-    attn_rnn_in = jnp.concatenate(
-        [carry.context_vec.astype(prenet_out.dtype), prenet_out], axis=-1
-    )
-    xg = (
-        jnp.dot(attn_rnn_in, params["attn_rnn"]["weight_ih"].T,
-                preferred_element_type=cdt)
-        + params["attn_rnn"]["bias_ih"]
-    )
     attn_hidden = gru_step(
         xg, carry.attn_hidden, params["attn_rnn"]["weight_hh"].T,
         params["attn_rnn"]["bias_hh"],
@@ -336,7 +321,7 @@ def decoder_step(
     )[:, None, :]
     # cumulative scores are carried f32; the location conv runs in the
     # compute dtype
-    location = carry.cumulative[:, :, None].astype(prenet_out.dtype)
+    location = carry.cumulative[:, :, None].astype(xg.dtype)
     processed_loc = mods["lsa_L"].apply(
         {"params": params["lsa_L"]},
         mods["lsa_conv"].apply({"params": params["lsa_conv"]}, location),
@@ -376,14 +361,6 @@ def decoder_step(
     rnn2_hidden = zoneout(k_zo2, carry.rnn2_hidden, rnn2_hidden_next)
     x = x + rnn2_hidden
 
-    mels = mods["mel_proj"].apply({"params": params["mel_proj"]}, x)
-    mels = mels.reshape(-1, d.n_mels, d.max_r)[:, :, :r]
-
-    s = jnp.concatenate([x, context_vec], axis=1)
-    stop = jax.nn.sigmoid(
-        mods["stop_proj"].apply({"params": params["stop_proj"]}, s)
-    )
-
     new_carry = DecoderCarry(
         attn_hidden=attn_hidden,
         rnn1_hidden=rnn1_hidden,
@@ -392,6 +369,61 @@ def decoder_step(
         rnn2_cell=rnn2_cell,
         context_vec=context_vec,
         cumulative=cumulative,
+    )
+    return new_carry, x, scores
+
+
+def decoder_step(
+    params: Dict,
+    d: TacotronDims,
+    r: int,
+    carry: DecoderCarry,
+    prenet_in: jax.Array,
+    encoder_seq: jax.Array,
+    encoder_seq_proj: jax.Array,
+    char_mask: jax.Array,
+    rng: jax.Array,
+    train: bool,
+    prenet_dropout: bool = True,
+) -> Tuple[DecoderCarry, jax.Array, jax.Array, jax.Array]:
+    """One decoder iteration → (carry, mels (B, n_mels, r), scores (B, T),
+    stop (B, 1)) (ref: tacotron.py:244-299). ``prenet_dropout=False`` is a
+    deterministic test hook for cross-backend parity (the reference keeps
+    prenet dropout on even at inference)."""
+    mods = _modules(d)
+    k_pre, k_zo1, k_zo2 = jax.random.split(rng, 3)
+
+    from rtvc_tpu.ops.precision import matmul_dtype
+
+    cdt = matmul_dtype()
+    if prenet_dropout:
+        prenet_out = mods["dec_prenet"].apply(
+            {"params": params["dec_prenet"]}, prenet_in, rngs={"dropout": k_pre}
+        )
+    else:
+        prenet_out = _prenet_nodrop(params["dec_prenet"], prenet_in, cdt)
+
+    # Attention GRU input projection (context_vec is carried f32; cast down
+    # so the concat stays in the compute dtype under the bf16 policy)
+    attn_rnn_in = jnp.concatenate(
+        [carry.context_vec.astype(prenet_out.dtype), prenet_out], axis=-1
+    )
+    xg = (
+        jnp.dot(attn_rnn_in, params["attn_rnn"]["weight_ih"].T,
+                preferred_element_type=cdt)
+        + params["attn_rnn"]["bias_ih"]
+    )
+    new_carry, x, scores = _decoder_recurrence(
+        params, d, carry, xg, encoder_seq, encoder_seq_proj, char_mask,
+        k_zo1, k_zo2, train,
+    )
+
+    mels = mods["mel_proj"].apply({"params": params["mel_proj"]}, x)
+    mels = mels.reshape(-1, d.n_mels, d.max_r)[:, :, :r]
+
+    s = jnp.concatenate([x, new_carry.context_vec], axis=1)
+    stop = jax.nn.sigmoid(
+        mods["stop_proj"].apply({"params": params["stop_proj"]}, s)
     )
     return new_carry, mels, scores, stop
 
@@ -438,20 +470,38 @@ def tacotron_forward(
     r: int,
     rng: jax.Array,
     train: bool = True,
+    prenet_dropout: bool = True,
+    hoisted: bool = True,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Dict]:
     """Teacher-forced pass (ref: tacotron.py:335-391).
 
     chars (B, T_text) int32; mels (B, n_mels, steps) with steps % r == 0.
     Returns (mel_out (B, n_mels, steps), linear (B, fft_bins, steps),
     attn (B, steps//r, T_text), stop (B, steps), new_batch_stats).
+
+    ``hoisted=True`` (default) moves everything that does not depend on the
+    recurrent state out of the decoder scan: the prenet runs over ALL
+    teacher frames as one batched pass (its inputs are fully known under
+    teacher forcing), the prenet-side half of the attention-GRU input
+    projection becomes one large matmul, and the mel/stop output
+    projections are applied to the stacked decoder states after the scan —
+    with the mel projection sliced to the ``r`` columns actually kept
+    (the per-step path computes all ``max_r`` frames and discards
+    ``max_r - r`` of them, ref: tacotron.py:370-373). Only the attention
+    and the three RNN cells stay serial. The math is identical (up to
+    float summation order); ``hoisted=False`` keeps the per-step oracle
+    path the equivalence tests compare against. RNG layout for the prenet
+    dropout differs between the two paths (one batched draw vs per-step
+    draws — identically distributed either way).
     """
     B, _, steps = mels.shape
-    k_enc, k_dec, k_post = jax.random.split(rng, 3)
+    k_enc, k_dec, k_post, k_pre_all = jax.random.split(rng, 4)
     encoder_seq, encoder_seq_proj, new_stats = encode(
         variables, d, chars, speaker_embedding, train=train, rng=k_enc
     )
     char_mask = (chars != 0).astype(jnp.float32)
     params = variables["params"]
+    mods = _modules(d)
 
     n_iters = steps // r
     # Teacher inputs: frame t-1 for t = 0, r, 2r, ... (GO frame at t=0)
@@ -464,20 +514,77 @@ def tacotron_forward(
     carry0 = init_decoder_carry(d, B, chars.shape[1], dtype=mels.dtype)
     step_keys = jax.random.split(k_dec, n_iters)
 
-    def body(carry, inp):
-        prenet_in, key = inp
-        carry, m, scores, stop = decoder_step(
-            params, d, r, carry, prenet_in, encoder_seq, encoder_seq_proj,
-            char_mask, key, train,
-        )
-        return carry, (m, scores, stop)
-
     from rtvc_tpu.ops.scanning import scan_unroll
 
-    _, (mel_steps, attn, stops) = jax.lax.scan(
-        body, carry0, (jnp.swapaxes(teacher, 0, 1), step_keys),
-        unroll=scan_unroll(),
-    )
+    if hoisted:
+        from rtvc_tpu.ops.precision import matmul_dtype
+
+        cdt = matmul_dtype()
+        if prenet_dropout:
+            prenet_all = mods["dec_prenet"].apply(
+                {"params": params["dec_prenet"]}, teacher,
+                rngs={"dropout": k_pre_all},
+            )  # (B, n_iters, 2*decoder_dims)
+        else:
+            prenet_all = _prenet_nodrop(params["dec_prenet"], teacher, cdt)
+
+        # Split the attention-GRU input projection along its concat
+        # boundary [context | prenet]: the prenet half (+ bias) hoists to
+        # one big MXU matmul; the context half stays in the scan.
+        w_ih = params["attn_rnn"]["weight_ih"]  # (3H, ctx + 2*decoder_dims)
+        ctx_dim = encoder_seq.shape[-1]
+        xg_pre = (
+            jnp.dot(prenet_all, w_ih[:, ctx_dim:].T,
+                    preferred_element_type=cdt)
+            + params["attn_rnn"]["bias_ih"]
+        )  # (B, n_iters, 3H)
+        w_ctx_t = w_ih[:, :ctx_dim].T
+
+        def body(carry, inp):
+            xg_p, key = inp
+            _, k_zo1, k_zo2 = jax.random.split(key, 3)
+            xg = xg_p + jnp.dot(
+                carry.context_vec.astype(xg_p.dtype), w_ctx_t,
+                preferred_element_type=cdt,
+            )
+            carry, x, scores = _decoder_recurrence(
+                params, d, carry, xg, encoder_seq, encoder_seq_proj,
+                char_mask, k_zo1, k_zo2, train,
+            )
+            return carry, (x, carry.context_vec, scores)
+
+        _, (x_all, ctx_all, attn) = jax.lax.scan(
+            body, carry0, (jnp.swapaxes(xg_pre, 0, 1), step_keys),
+            unroll=scan_unroll(),
+        )
+        # Output projections over the stacked states — one big matmul
+        # each. mel_proj keeps only columns j with j % max_r < r; slice
+        # the weight rows instead of computing-then-discarding.
+        keep = (
+            jnp.arange(d.n_mels)[:, None] * d.max_r + jnp.arange(r)
+        ).reshape(-1)
+        w_mel = params["mel_proj"]["weight"][keep]  # (n_mels*r, lstm_dims)
+        mel_steps = jnp.dot(
+            x_all, w_mel.T, preferred_element_type=cdt
+        ).reshape(n_iters, B, d.n_mels, r)
+        stop_in = jnp.concatenate([x_all, ctx_all.astype(x_all.dtype)], -1)
+        stops = jax.nn.sigmoid(
+            mods["stop_proj"].apply({"params": params["stop_proj"]}, stop_in)
+        )  # (n_iters, B, 1)
+    else:
+        def body(carry, inp):
+            prenet_in, key = inp
+            carry, m, scores, stop = decoder_step(
+                params, d, r, carry, prenet_in, encoder_seq,
+                encoder_seq_proj, char_mask, key, train,
+                prenet_dropout=prenet_dropout,
+            )
+            return carry, (m, scores, stop)
+
+        _, (mel_steps, attn, stops) = jax.lax.scan(
+            body, carry0, (jnp.swapaxes(teacher, 0, 1), step_keys),
+            unroll=scan_unroll(),
+        )
     # mel_steps: (n_iters, B, n_mels, r) → (B, n_mels, steps)
     mel_out = jnp.moveaxis(mel_steps, 0, 2).reshape(B, d.n_mels, steps)
     attn = jnp.swapaxes(attn, 0, 1)  # (B, n_iters, T_text)

@@ -48,11 +48,18 @@ def run_synthesis(
     if bundle.model_type == factories.MODEL_TYPE_TACOTRON:
         from rtvc_tpu.models.tacotron import tacotron_forward
 
+        # The reference zeroes hp.dropout for GTA so the saved mels are
+        # deterministic (ref: synthesizer/synthesize.py:44-48); dims are a
+        # static NamedTuple, so the same override is one _replace. The
+        # always-on prenet dropout (Tacotron-2 convention) stays active for
+        # regular inference — GTA is the one documented exception.
+        d_gta = d._replace(dropout=0.0)
+
         @jax.jit
         def forward(variables, batch, rng):
             _, m2, _, _, _ = tacotron_forward(
-                variables, d, batch["chars"], batch["mels"], batch["embeds"],
-                r, rng, train=False,
+                variables, d_gta, batch["chars"], batch["mels"],
+                batch["embeds"], r, rng, train=False,
             )
             return m2
 

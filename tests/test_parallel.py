@@ -83,10 +83,11 @@ class TestDataParallelStep:
                 sharded, key,
             )
         assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
-        diff = jax.tree_util.tree_map(
-            lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p8
-        )
-        assert max(jax.tree_util.tree_leaves(diff)) < 1e-4
+        # Same 2e-4 gate as every other stage in this file (_params_close):
+        # sharded gradient reductions sum in a different order than the
+        # single-device matmuls, and Adam's 1/sqrt(v) amplifies those
+        # last-ulp differences on near-zero-gradient params.
+        _params_close(p1, p8)
 
 
 def _params_close(a, b, atol=2e-4):
