@@ -174,10 +174,11 @@ def _gru_seq(p: Dict, x: jax.Array) -> jax.Array:
 
     from rtvc_tpu.ops.pallas.gru_train_kernel import (
         fused_available,
+        fused_fits,
         gru_seq_fused,
     )
 
-    if H % 128 == 0 and fused_available():
+    if H % 128 == 0 and fused_available() and fused_fits(B, H, xg.dtype):
         # Fused Pallas sequence kernel: W_hh VMEM-resident for the whole
         # sequence, custom VJP with the dh chain in a reverse-tile kernel
         # (interpret mode off-TPU so forcing RTVC_FUSED_GRU_TRAIN=1 stays

@@ -152,7 +152,40 @@ def _bwd_kernel(S: int, H: int):
 
 
 def _tile_len() -> int:
-    return int(os.environ.get("RTVC_GRU_TRAIN_TILE", "16"))
+    # 32 measured best at the production WaveRNN shape (BENCHMARKS.md
+    # round-4 tile sweep: 17.5 steps/s bf16 vs 15.3 at 16)
+    return int(os.environ.get("RTVC_GRU_TRAIN_TILE", "32"))
+
+
+# Streamed windows are double-buffered; cost ≈ 2·S·B·(width sum)·esize.
+# The kernel streams the FULL batch per window (no batch grid axis), so
+# large sweep batches must fall back to the scan path instead of
+# overflowing the ~128 MiB VMEM.
+_VMEM_BUDGET = 100 * 1024 * 1024
+
+
+def _vmem_est(S: int, Bp: int, H: int, esize: int) -> int:
+    fwd = 2 * S * Bp * 8 * H * esize            # xg 3H in + ys H, gates 4H out
+    bwd = 2 * S * Bp * H * (16 + 5 * esize)     # dys f32, gates+h_prev, dxg f32
+    return max(fwd, bwd) + 3 * H * H * esize + 4 * Bp * H
+
+
+def _pick_tile_len(Bp: int, H: int, esize: int) -> int:
+    # halving keeps S | Tp (the caller padded T to a multiple of the
+    # starting S), so fwd and bwd independently reach the same choice
+    S = _tile_len()
+    while _vmem_est(S, Bp, H, esize) > _VMEM_BUDGET and S > 4 and S % 2 == 0:
+        S //= 2
+    return S
+
+
+def fused_fits(B: int, H: int, dtype) -> bool:
+    """Would the fused kernel fit VMEM at this shape (at the smallest
+    tile)? Callers fall back to the lax.scan path when not."""
+    import numpy as np
+
+    Bp = _round_up(B, 16 if dtype == jnp.bfloat16 else 8)
+    return _vmem_est(4, Bp, H, np.dtype(dtype).itemsize) <= _VMEM_BUDGET
 
 
 def _specs(interpret: bool):
@@ -174,7 +207,7 @@ def _call_fwd(xg_t, w_hh_t, b_hh, *, interpret: bool):
     """xg_t (Tp, Bp, 3H) → (ys (Tp, Bp, H), gates (Tp, Bp, 4H))."""
     Tp, Bp, threeH = xg_t.shape
     H = threeH // 3
-    S = _tile_len()
+    S = _pick_tile_len(Bp, H, xg_t.dtype.itemsize)
     n_tiles = Tp // S
     pl, pltpu, vmem, kwargs = _specs(interpret)
     scratch = [pltpu.VMEM((1, Bp, H), jnp.float32)]
@@ -206,7 +239,7 @@ def _call_fwd(xg_t, w_hh_t, b_hh, *, interpret: bool):
 def _call_bwd(dys_t, gates, h_prev, w_hh, *, interpret: bool):
     """Reverse-time chain → dxg (Tp, Bp, 3H). w_hh is (3H, H)."""
     Tp, Bp, H = dys_t.shape
-    S = _tile_len()
+    S = _pick_tile_len(Bp, H, gates.dtype.itemsize)
     n_tiles = Tp // S
     pl, pltpu, vmem, kwargs = _specs(interpret)
     scratch = [pltpu.VMEM((1, Bp, H), jnp.float32)]

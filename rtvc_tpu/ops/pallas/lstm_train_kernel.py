@@ -59,6 +59,32 @@ def _batch_tile() -> int:
     return int(os.environ.get("RTVC_LSTM_TRAIN_BTILE", "128"))
 
 
+# Streamed windows are double-buffered by Pallas, so VMEM cost is
+# 2 · S · Bt · (sum of stream widths) · esize; the encoder's production
+# shape (B=640, H=768, f32) overflows the ~128 MiB VMEM at the default
+# (16, 128) tiles. Shrink S first (keeps the (Bt, H)·(H, 4H) matmul
+# MXU-shaped), then Bt, until the worst of the fwd/bwd estimates fits.
+_VMEM_BUDGET = 88 * 1024 * 1024
+
+
+def _pick_tiles(Bp: int, H: int, esize: int) -> tuple:
+    S, Bt = _tile_len(), min(_batch_tile(), Bp)
+
+    def est(S, Bt):
+        # fwd streams: xg(4H) in + ys(H), cs(H), gates(4H) out, all esize;
+        # bwd streams: dys(H f32), gates(4H), cs(H), cprev(H) in +
+        # dxg(4H f32) out. Plus the resident W_hh and the h/c scratch.
+        fwd = 2 * S * Bt * 10 * H * esize
+        bwd = 2 * S * Bt * H * (20 + 6 * esize)
+        return max(fwd, bwd) + 4 * H * H * esize + 4 * Bt * H * 4
+
+    while est(S, Bt) > _VMEM_BUDGET and S > 4:
+        S //= 2
+    while est(S, Bt) > _VMEM_BUDGET and Bt > 32:
+        Bt //= 2
+    return S, Bt
+
+
 # ---------------------------------------------------------------------------
 # Kernels
 # ---------------------------------------------------------------------------
@@ -166,10 +192,9 @@ def _plumbing(interpret: bool):
     return pl, pltpu, pltpu.VMEM, kwargs
 
 
-def _call_fwd(xg_t, w_hh_t, h0, c0, *, interpret: bool):
+def _call_fwd(xg_t, w_hh_t, h0, c0, *, S: int, Bt: int, interpret: bool):
     Tp, Bp, fourH = xg_t.shape
     H = fourH // 4
-    S, Bt = _tile_len(), min(_batch_tile(), Bp)
     nT, nB = Tp // S, Bp // Bt
     pl, pltpu, vmem, kwargs = _plumbing(interpret)
     scratch = [pltpu.VMEM((1, Bt, H), jnp.float32),
@@ -206,9 +231,9 @@ def _call_fwd(xg_t, w_hh_t, h0, c0, *, interpret: bool):
     return ys, cs, gates, hT, cT
 
 
-def _call_bwd(dys_t, dhT, dcT, gates, cs, c_prev, w_hh, *, interpret: bool):
+def _call_bwd(dys_t, dhT, dcT, gates, cs, c_prev, w_hh, *, S: int, Bt: int,
+              interpret: bool):
     Tp, Bp, H = dys_t.shape
-    S, Bt = _tile_len(), min(_batch_tile(), Bp)
     nT, nB = Tp // S, Bp // Bt
     pl, pltpu, vmem, kwargs = _plumbing(interpret)
     scratch = [pltpu.VMEM((1, Bt, H), jnp.float32),
@@ -265,15 +290,17 @@ def lstm_seq_fused(w_hh_t, xg, h0, c0, interpret=False):
 def _lstm_fwd_rule(w_hh_t, xg, h0, c0, interpret):
     B, T, fourH = xg.shape
     H = fourH // 4
-    S = _tile_len()
     sub = 16 if xg.dtype == jnp.bfloat16 else 8
-    Bp, Tp = _round_up(B, sub), _round_up(T, S)
+    Bp = _round_up(B, sub)
+    S, Bt = _pick_tiles(Bp, H, jnp.dtype(xg.dtype).itemsize)
+    # the grid needs Bt | Bp and S | Tp
+    Bp, Tp = _round_up(Bp, Bt), _round_up(T, S)
     xg_t = jnp.zeros((Tp, Bp, fourH), xg.dtype).at[:T, :B].set(
         jnp.swapaxes(xg, 0, 1)
     )
     h0p = jnp.zeros((Bp, H), jnp.float32).at[:B].set(h0.astype(jnp.float32))
     c0p = jnp.zeros((Bp, H), jnp.float32).at[:B].set(c0.astype(jnp.float32))
-    ys_t, cs, gates, hT, cT = _call_fwd(xg_t, w_hh_t, h0p, c0p,
+    ys_t, cs, gates, hT, cT = _call_fwd(xg_t, w_hh_t, h0p, c0p, S=S, Bt=Bt,
                                         interpret=interpret)
     ys = jnp.swapaxes(ys_t, 0, 1)[:B, :T]
     # h_T/c_T must be the state at the true T, not the padded end — with
@@ -296,6 +323,10 @@ def _lstm_fwd_vjp(w_hh_t, xg, h0, c0, interpret):
 def _lstm_bwd_vjp(interpret, res, cot):
     dys, dhT, dcT = cot
     w_hh_t, ys_t, cs, gates, h0p, c0p, B, T, x_mark, h_mark, c_mark = res
+    # same deterministic tile choice as the forward (Bp here is already
+    # rounded to a Bt multiple, which leaves _pick_tiles' answer unchanged)
+    S, Bt = _pick_tiles(ys_t.shape[1], ys_t.shape[2],
+                        jnp.dtype(gates.dtype).itemsize)
     Tp, Bp, H = ys_t.shape
     dys_t = jnp.zeros((Tp, Bp, H), jnp.float32).at[:T, :B].set(
         jnp.swapaxes(dys, 0, 1).astype(jnp.float32)
@@ -320,7 +351,7 @@ def _lstm_bwd_vjp(interpret, res, cot):
         dys_t = dys_t.at[T - 1, :B].add(dhT.astype(jnp.float32))
     c_prev = jnp.concatenate([c0p[None].astype(cs.dtype), cs[:-1]], axis=0)
     dxg_t, dh0, dc0 = _call_bwd(dys_t, dhT_p, dcT_p, gates, cs, c_prev,
-                                jnp.swapaxes(w_hh_t, 0, 1),
+                                jnp.swapaxes(w_hh_t, 0, 1), S=S, Bt=Bt,
                                 interpret=interpret)
     h_prev = jnp.concatenate(
         [h0p[None].astype(ys_t.dtype), ys_t[:-1]], axis=0

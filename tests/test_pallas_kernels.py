@@ -500,3 +500,44 @@ class TestLSTMTrainKernel:
                         jax.tree_util.tree_leaves(g_scan)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=1e-3)
+
+
+class TestVmemAdaptiveTiles:
+    """VMEM-budget tile selection (round 4): the encoder's production
+    LSTM shape (B=640, H=768, f32) overflowed the ~128 MiB VMEM at the
+    default (16, 128) tiles; _pick_tiles must shrink to fit, and the GRU
+    kernel must refuse shapes it cannot tile (falling back to scan)."""
+
+    def test_lstm_production_shape_shrinks(self):
+        from rtvc_tpu.ops.pallas import lstm_train_kernel as lk
+
+        S, Bt = lk._pick_tiles(640, 768, 4)
+        assert (S, Bt) != (16, 128), "must shrink from the default"
+        est = max(2 * S * Bt * 10 * 768 * 4,
+                  2 * S * Bt * 768 * (20 + 24))
+        assert est <= lk._VMEM_BUDGET
+
+    def test_lstm_small_shape_keeps_default(self):
+        from rtvc_tpu.ops.pallas import lstm_train_kernel as lk
+
+        assert lk._pick_tiles(64, 256, 4) == (lk._tile_len(), 64)
+
+    def test_gru_production_shape_keeps_tile32(self):
+        """The measured-best WaveRNN config (B=40, H=512, tile 32) must
+        survive the budget check — it is the headline train number."""
+        from rtvc_tpu.ops.pallas import gru_train_kernel as gk
+
+        assert gk._pick_tile_len(40, 512, 4) == 32
+        assert gk.fused_fits(40, 512, jnp.float32)
+
+    def test_gru_large_batch_shrinks_then_falls_back(self):
+        """Sweep batches shrink the time tile (the kernel streams the full
+        batch per window); truly huge batches exceed the budget even at
+        the smallest tile and the dispatch must use lax.scan."""
+        from rtvc_tpu.ops.pallas import gru_train_kernel as gk
+
+        S320 = gk._pick_tile_len(320, 512, 4)
+        assert S320 < 32
+        assert gk._vmem_est(S320, 320, 512, 4) <= gk._VMEM_BUDGET
+        assert gk.fused_fits(320, 512, jnp.float32)
+        assert not gk.fused_fits(2048, 512, jnp.float32)
