@@ -38,7 +38,7 @@ from pathlib import Path
 
 import numpy as np
 
-CORPUS_TAG = "real_speech_v1"  # bump when the corpus/budget changes
+CORPUS_TAG = "real_speech_v2"  # bump when the corpus/budget changes
 PREV_PATH = Path(__file__).parent / "BENCH_QUALITY.json"
 
 
@@ -111,6 +111,7 @@ _GATES = {
     "clone_embed_cosine": (True, 0.10, 0.03),
     "gta_vocoded_mcd": (False, 0.10, 0.03),
     "gt_vocoded_mcd": (False, 0.10, 0.03),
+    "gl_vocoded_mcd": (False, 0.10, 0.03),
 }
 
 
@@ -218,17 +219,20 @@ def train_tiny_pipeline(root: Path):
     voc_cfg = WaveRNNParams(
         rnn_dims=64, fc_dims=64, compute_dims=32, res_out_dims=32,
         res_blocks=2, bits=8, seq_len=200 * 4,
-        voc_tts_schedule=((120, 1e-3, 3e-4, 4),),
+        voc_tts_schedule=((800, 1e-3, 3e-4, 4),),
         gen_target=400, gen_overlap=150,
     )
     voc_dataset = VocoderDataset(
         voc_dir / "synthesized.json", voc_dir / "mels_gta",
         syn_dir / "wav", voc_cfg,
     )
+    # 1500 steps: post-compile throughput is ~23 steps/s on the TPU, so
+    # the deeper overfit costs ~1 min and moves the vocoded MCDs from
+    # "noise" toward the interpretable range the GL anchor sits in
     vout = train_vocoder(
         "voc", factories.MODEL_TYPE_RUNTIMERACER, models_dir,
         lambda s: voc_batches(voc_dataset, 4, voc_cfg, seed=s),
-        save_every=400, max_steps=300, override_hp=voc_cfg,
+        save_every=2000, max_steps=1500, override_hp=voc_cfg,
     )
     return models_dir, syn_dir, voc_dir, taco_bundle, vout
 
@@ -372,6 +376,24 @@ def main():
                                           target=400, overlap=150)
         emit("gt_vocoded_mcd",
              mel_cepstral_distortion(gt_wav, recon_gt, sp, preprocessing),
+             unit="dB", utt=utt_id)
+
+        # Griffin-Lim anchor: reconstruct the same GT mel with the DSP
+        # inverse (no learned vocoder in the loop — ref keeps a GL wav in
+        # every listening triplet, vocoder/gen_wavernn.py:26-31). This is
+        # the interpretable absolute: a healthy mel↔audio ladder puts GL
+        # MCD in single digits, so it both proves the metric's scale and
+        # gives the vocoded numbers a floor to be compared against.
+        import jax as _jax
+
+        from rtvc_tpu.ops.audio import inv_mel_spectrogram
+
+        gl_wav = np.asarray(inv_mel_spectrogram(
+            gt_mel, sp, preprocessing, _jax.random.PRNGKey(0),
+            length=len(gt_wav),
+        ))
+        emit("gl_vocoded_mcd",
+             mel_cepstral_distortion(gt_wav, gl_wav, sp, preprocessing),
              unit="dB", utt=utt_id)
 
         # ---- TPU only: sampled f32-vs-bf16-stream divergence ---------------

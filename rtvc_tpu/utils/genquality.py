@@ -144,11 +144,21 @@ def mel_cepstral_distortion(
     no DTW — callers compare a vocoded reconstruction against the exact
     audio whose mel conditioned it, so the frames line up by construction).
 
-    Standard MCD: cepstra = DCT-II(ortho) of the dB mel spectrum, c1..c13
-    (c0 = loudness excluded), MCD = (10/ln 10)·√2·mean‖Δc‖ over frames
-    whose REFERENCE frame carries speech energy (silent frames sit on the
-    min_level_db floor where cepstral distance measures only floor noise —
-    standard MCD practice excludes them). The tracked audio-quality number
+    Standard MCD: cepstra = DCT-II(ortho) of the NATURAL-LOG mel spectrum
+    (our mels are dB = (20/ln 10)·ln amp, so divide by 8.686 first —
+    computing the cepstra from dB and still applying the (10/ln 10)
+    prefactor would inflate every number 8.686×), c1..c13 (c0 = loudness
+    excluded), MCD = (10/ln 10)·√2·mean‖Δc‖ over frames whose REFERENCE
+    frame carries speech energy. Two floors keep the number on the
+    interpretable single-digit scale real MCDs live on: silent FRAMES are
+    excluded (they sit on the min_level_db floor where cepstral distance
+    measures only floor noise), and within active frames both spectra are
+    clipped to a 40 dB dynamic range below the reference peak (bins
+    between harmonics otherwise swing the full −100 dB floor and dominate
+    the distance). Measured calibration on samples/p240 (BENCHMARKS.md
+    round 4): Griffin-Lim reconstruction 9.0 dB (published GL MCDs are
+    ~7–9), the 8-bit mu-law roundtrip (the RAW vocoder's quantization
+    ceiling) 0.6 dB, white noise 65 dB. The tracked audio-quality number
     for BENCHMARKS.md (VERDICT r2 weak #6)."""
     from scipy.fft import dct
 
@@ -165,8 +175,14 @@ def mel_cepstral_distortion(
     active = frame_db > frame_db.max() - 35.0
     if not active.any():
         active = np.ones_like(active, dtype=bool)
-    c_ref = dct(m_ref.T[active], type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
-    c_gen = dct(m_gen.T[active], type=2, norm="ortho", axis=1)[:, 1 : n_coeffs + 1]
+    floor = float(m_ref.max()) - 40.0
+    m_ref = np.maximum(m_ref, floor)
+    m_gen = np.maximum(m_gen, floor)
+    db_to_ln = np.log(10.0) / 20.0  # dB mel → ln-amplitude mel
+    c_ref = dct(m_ref.T[active] * db_to_ln, type=2, norm="ortho",
+                axis=1)[:, 1 : n_coeffs + 1]
+    c_gen = dct(m_gen.T[active] * db_to_ln, type=2, norm="ortho",
+                axis=1)[:, 1 : n_coeffs + 1]
     dist = np.sqrt(np.sum((c_ref - c_gen) ** 2, axis=1))
     return float((10.0 / np.log(10.0)) * np.sqrt(2.0) * np.mean(dist))
 

@@ -115,3 +115,45 @@ def test_fidelity_metric_flags_broken_crossfade(overfit):
     good, bad = rows
     assert bad["join_click_ratio"] > 1.1, rows
     assert bad["join_click_ratio"] > good["join_click_ratio"] + 0.1, rows
+
+
+def test_mcd_scale_is_interpretable():
+    """The MCD instrument's dB scale must be meaningful on real speech:
+    a Griffin-Lim reconstruction of an utterance's own mel lands in the
+    interpretable <15 dB range (published GL MCDs sit ~7-9), the 8-bit
+    mu-law roundtrip (the RAW vocoder's quantization ceiling) under 2 dB,
+    and white noise far above both. Anchors bench_quality.py's
+    gl_vocoded_mcd metric (round-3 verdict: 'real MCDs live under
+    ~15 dB')."""
+    import jax
+
+    from rtvc_tpu.config import preprocessing, sp
+    from rtvc_tpu.ops.audio import (
+        decode_mu_law,
+        encode_mu_law,
+        inv_mel_spectrogram,
+        melspectrogram,
+    )
+    from rtvc_tpu.utils import mpeg
+    from rtvc_tpu.utils.genquality import mel_cepstral_distortion
+    from rtvc_tpu.utils.io import load_wav, sample_path
+
+    if not mpeg.mpeg_supported():
+        pytest.skip("no mp3 decode for the real-speech fixture")
+    wav, _ = load_wav(sample_path("p240_00000.mp3"), target_sr=sp.sample_rate)
+    wav = (wav / max(abs(wav).max(), 1e-9) * 0.8).astype(np.float32)
+    wav = wav[: 2 * sp.sample_rate]
+    pp = preprocessing.replace(griffin_lim_iters=8)  # CPU speed
+    mel = melspectrogram(wav, sp, pp)
+    gl = np.asarray(inv_mel_spectrogram(mel, sp, pp, jax.random.PRNGKey(0),
+                                        length=len(wav)))
+    mcd_gl = mel_cepstral_distortion(wav, gl, sp, pp)
+    q = np.asarray(decode_mu_law(encode_mu_law(wav, 256), 256,
+                                 from_labels=True), np.float32)
+    mcd_q = mel_cepstral_distortion(wav, q, sp, pp)
+    noise = np.random.default_rng(0).standard_normal(len(wav)).astype(
+        np.float32) * 0.3
+    mcd_noise = mel_cepstral_distortion(wav, noise, sp, pp)
+    assert mcd_gl < 15.0, f"GL MCD {mcd_gl:.1f} dB not interpretable"
+    assert mcd_q < 2.0, f"mu-law ceiling {mcd_q:.2f} dB"
+    assert mcd_noise > 4 * mcd_gl
