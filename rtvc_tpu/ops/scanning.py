@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_UNROLL = 2
+# round-4 sweep (BENCHMARKS.md): unroll=4 beat 2 on every recurrent stage
+# (Tacotron +26 %, WaveRNN scan +14 %, encoder +2.5 %, bf16 same-chain)
+_DEFAULT_UNROLL = 4
 
 
 def scan_unroll() -> int:
