@@ -303,7 +303,10 @@ def series_predictor(
 
 
 def _lstm_dir(p: Dict, suffix: str, x: jax.Array) -> jax.Array:
-    """One direction of the torch-layout BiLSTM as a lax.scan."""
+    """One direction of the torch-layout BiLSTM: input projection hoisted
+    to one MXU matmul, then the fused Pallas sequence kernel on TPU
+    (W_hh VMEM-resident for the whole sequence, custom VJP) with the
+    lax.scan recurrence as the oracle/fallback path."""
     w_ih = p[f"weight_ih_l0{suffix}"]
     w_hh = p[f"weight_hh_l0{suffix}"]
     b = p[f"bias_ih_l0{suffix}"] + p[f"bias_hh_l0{suffix}"]
@@ -311,6 +314,17 @@ def _lstm_dir(p: Dict, suffix: str, x: jax.Array) -> jax.Array:
     H = w_hh.shape[1]
     xg = _mm(x, w_ih.T) + b
     w_hh_t = w_hh.T
+
+    from rtvc_tpu.ops.pallas.lstm_train_kernel import (
+        fused_available,
+        lstm_seq_fused,
+    )
+
+    if H % 128 == 0 and fused_available():
+        zeros = jnp.zeros((B, H), xg.dtype)
+        ys, _, _ = lstm_seq_fused(w_hh_t, xg, zeros, zeros,
+                                  jax.default_backend() != "tpu")
+        return ys
 
     def step(carry, xg_t):
         h, c = carry
@@ -320,10 +334,13 @@ def _lstm_dir(p: Dict, suffix: str, x: jax.Array) -> jax.Array:
         h = jax.nn.sigmoid(o) * jnp.tanh(c)
         return (h, c), h
 
+    from rtvc_tpu.ops.scanning import scan_unroll
+
     _, ys = jax.lax.scan(
         step,
         (jnp.zeros((B, H), xg.dtype), jnp.zeros((B, H), xg.dtype)),
         jnp.swapaxes(xg, 0, 1),
+        unroll=scan_unroll(),
     )
     return jnp.swapaxes(ys, 0, 1)
 

@@ -541,3 +541,40 @@ class TestVmemAdaptiveTiles:
         assert gk._vmem_est(S320, 320, 512, 4) <= gk._VMEM_BUDGET
         assert gk.fused_fits(320, 512, jnp.float32)
         assert not gk.fused_fits(2048, 512, jnp.float32)
+
+
+class TestBiLSTMFused:
+    def test_bilstm_packed_fused_matches_scan(self, monkeypatch):
+        """ForwardTacotron's packed BiLSTM (per-length reversed backward
+        direction) routes through the fused LSTM kernel when forced:
+        outputs + grads match the scan path, including the padded tail."""
+        from rtvc_tpu.models.forward_tacotron import bilstm_packed
+
+        rng = np.random.default_rng(7)
+        B, T, I, H = 3, 12, 16, 128
+        u = lambda *s: jnp.asarray(  # noqa: E731
+            rng.standard_normal(s).astype(np.float32) * 0.2)
+        p = {}
+        for suffix in ("", "_reverse"):
+            p[f"weight_ih_l0{suffix}"] = u(4 * H, I)
+            p[f"weight_hh_l0{suffix}"] = u(4 * H, H)
+            p[f"bias_ih_l0{suffix}"] = u(4 * H)
+            p[f"bias_hh_l0{suffix}"] = u(4 * H)
+        x = u(B, T, I)
+        lens = jnp.asarray([12, 7, 3])
+
+        def loss(p):
+            return jnp.sum(bilstm_packed(p, x, lens, -4.0) ** 2)
+
+        monkeypatch.setenv("RTVC_FUSED_LSTM_TRAIN", "0")
+        y_scan = bilstm_packed(p, x, lens, -4.0)
+        g_scan = jax.grad(loss)(p)
+        monkeypatch.setenv("RTVC_FUSED_LSTM_TRAIN", "1")
+        y_fused = bilstm_packed(p, x, lens, -4.0)
+        g_fused = jax.grad(loss)(p)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_scan),
+                                   atol=1e-5)
+        for (k, a), b in zip(sorted(g_fused.items()),
+                             [v for _, v in sorted(g_scan.items())]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=k)
