@@ -46,7 +46,13 @@ class TestDataParallelStep:
             factories.MODEL_TYPE_TACOTRON, override_hp=cfg
         )
         d = bundle.dims
-        optimizer = optax.adam(1e-3)
+        # SGD, not Adam: one Adam step from zero state is ±lr·sign(g) for
+        # near-zero grads, so a last-ulp reduction-order difference between
+        # the sharded and single-device gradient sums flips a param by the
+        # whole learning rate (observed flaky at 2e-4). SGD is linear in g,
+        # making the DP-equivalence bound tight — which is what this test
+        # actually validates (gradient sync, not optimizer dynamics).
+        optimizer = optax.sgd(1e-3)
         step = make_tacotron_train_step(d, optimizer, r=2)
 
         rng = np.random.default_rng(0)
@@ -83,11 +89,9 @@ class TestDataParallelStep:
                 sharded, key,
             )
         assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-4
-        # Same 2e-4 gate as every other stage in this file (_params_close):
-        # sharded gradient reductions sum in a different order than the
-        # single-device matmuls, and Adam's 1/sqrt(v) amplifies those
-        # last-ulp differences on near-zero-gradient params.
-        _params_close(p1, p8)
+        # Under SGD the post-step diff is lr·(grad reduction-order noise):
+        # a far tighter bound than the Adam-stepped stages can assert.
+        _params_close(p1, p8, atol=1e-5)
 
 
 def _params_close(a, b, atol=2e-4):
