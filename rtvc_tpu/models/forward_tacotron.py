@@ -315,12 +315,9 @@ def _lstm_dir(p: Dict, suffix: str, x: jax.Array) -> jax.Array:
     xg = _mm(x, w_ih.T) + b
     w_hh_t = w_hh.T
 
-    from rtvc_tpu.ops.pallas.lstm_train_kernel import (
-        fused_available,
-        lstm_seq_fused,
-    )
+    from rtvc_tpu.ops.pallas.lstm_train_kernel import fused_ok, lstm_seq_fused
 
-    if H % 128 == 0 and fused_available():
+    if fused_ok(B, H, xg.dtype):
         zeros = jnp.zeros((B, H), xg.dtype)
         ys, _, _ = lstm_seq_fused(w_hh_t, xg, zeros, zeros,
                                   jax.default_backend() != "tpu")

@@ -90,11 +90,11 @@ class LSTM(nn.Module):
             w_hh_t = w_hh.T  # (H, 4H)
 
             from rtvc_tpu.ops.pallas.lstm_train_kernel import (
-                fused_available,
+                fused_ok,
                 lstm_seq_fused,
             )
 
-            if H % 128 == 0 and fused_available():
+            if fused_ok(B, H, inputs.dtype):
                 # Fused Pallas sequence kernel (W_hh VMEM-resident, custom
                 # VJP with the (dh, dc) chain in a reverse-tile kernel;
                 # interpret mode off-TPU keeps RTVC_FUSED_LSTM_TRAIN=1

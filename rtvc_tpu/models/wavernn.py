@@ -172,13 +172,9 @@ def _gru_seq(p: Dict, x: jax.Array) -> jax.Array:
     w_hh_t = p["weight_hh_l0"].T
     b_hh = p["bias_hh_l0"]
 
-    from rtvc_tpu.ops.pallas.gru_train_kernel import (
-        fused_available,
-        fused_fits,
-        gru_seq_fused,
-    )
+    from rtvc_tpu.ops.pallas.gru_train_kernel import fused_ok, gru_seq_fused
 
-    if H % 128 == 0 and fused_available() and fused_fits(B, H, xg.dtype):
+    if fused_ok(B, H, xg.dtype):
         # Fused Pallas sequence kernel: W_hh VMEM-resident for the whole
         # sequence, custom VJP with the dh chain in a reverse-tile kernel
         # (interpret mode off-TPU so forcing RTVC_FUSED_GRU_TRAIN=1 stays

@@ -180,12 +180,23 @@ def _pick_tile_len(Bp: int, H: int, esize: int) -> int:
 
 
 def fused_fits(B: int, H: int, dtype) -> bool:
-    """Would the fused kernel fit VMEM at this shape (at the smallest
-    tile)? Callers fall back to the lax.scan path when not."""
+    """Would the fused kernel fit VMEM at this shape? Evaluated at the
+    tile length _pick_tile_len will ACTUALLY choose (an odd env override
+    cannot halve, so checking the theoretical minimum S=4 would admit
+    shapes the picker can't reach). Callers fall back to lax.scan when
+    False."""
     import numpy as np
 
     Bp = _round_up(B, 16 if dtype == jnp.bfloat16 else 8)
-    return _vmem_est(4, Bp, H, np.dtype(dtype).itemsize) <= _VMEM_BUDGET
+    es = np.dtype(dtype).itemsize
+    return _vmem_est(_pick_tile_len(Bp, H, es), Bp, H, es) <= _VMEM_BUDGET
+
+
+def fused_ok(B: int, H: int, dtype) -> bool:
+    """The complete dispatch gate shared by every fused-GRU call site:
+    lane-aligned H, kernel enabled for this backend, and the shape fits
+    VMEM at the tile the picker will choose."""
+    return H % 128 == 0 and fused_available() and fused_fits(B, H, dtype)
 
 
 def _specs(interpret: bool):

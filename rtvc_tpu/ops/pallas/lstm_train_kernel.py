@@ -67,22 +67,44 @@ def _batch_tile() -> int:
 _VMEM_BUDGET = 88 * 1024 * 1024
 
 
+def _vmem_est(S: int, Bt: int, H: int, esize: int) -> int:
+    # fwd streams: xg(4H) in + ys(H), cs(H), gates(4H) out, all esize;
+    # bwd streams: dys(H f32), gates(4H), cs(H), cprev(H) in +
+    # dxg(4H f32) out. Plus the resident W_hh and the h/c scratch.
+    fwd = 2 * S * Bt * 10 * H * esize
+    bwd = 2 * S * Bt * H * (20 + 6 * esize)
+    return max(fwd, bwd) + 4 * H * H * esize + 4 * Bt * H * 4
+
+
 def _pick_tiles(Bp: int, H: int, esize: int) -> tuple:
     S, Bt = _tile_len(), min(_batch_tile(), Bp)
-
-    def est(S, Bt):
-        # fwd streams: xg(4H) in + ys(H), cs(H), gates(4H) out, all esize;
-        # bwd streams: dys(H f32), gates(4H), cs(H), cprev(H) in +
-        # dxg(4H f32) out. Plus the resident W_hh and the h/c scratch.
-        fwd = 2 * S * Bt * 10 * H * esize
-        bwd = 2 * S * Bt * H * (20 + 6 * esize)
-        return max(fwd, bwd) + 4 * H * H * esize + 4 * Bt * H * 4
-
-    while est(S, Bt) > _VMEM_BUDGET and S > 4:
+    while _vmem_est(S, Bt, H, esize) > _VMEM_BUDGET and S > 4 and S % 2 == 0:
         S //= 2
-    while est(S, Bt) > _VMEM_BUDGET and Bt > 32:
+    while _vmem_est(S, Bt, H, esize) > _VMEM_BUDGET and Bt > 32 \
+            and Bt % 2 == 0:
         Bt //= 2
     return S, Bt
+
+
+def fused_fits(B: int, H: int, dtype) -> bool:
+    """Would the fused kernel fit VMEM at the tiles _pick_tiles will
+    actually choose? (Both tile axes shrink, so production shapes always
+    fit — but a huge H makes the resident W_hh alone exceed the budget,
+    and odd env overrides stop the halving early.)"""
+    import numpy as np
+
+    es = np.dtype(dtype).itemsize
+    Bp = _round_up(B, 16 if dtype == jnp.bfloat16 else 8)
+    S, Bt = _pick_tiles(Bp, H, es)
+    return _vmem_est(S, Bt, H, es) <= _VMEM_BUDGET
+
+
+def fused_ok(B: int, H: int, dtype) -> bool:
+    """The complete dispatch gate shared by every fused-LSTM call site
+    (layers.LSTM, forward_tacotron._lstm_dir): lane-aligned H, kernel
+    enabled for this backend, and the shape fits VMEM at the tiles the
+    picker will choose."""
+    return H % 128 == 0 and fused_available() and fused_fits(B, H, dtype)
 
 
 # ---------------------------------------------------------------------------

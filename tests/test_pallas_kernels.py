@@ -578,3 +578,17 @@ class TestBiLSTMFused:
                              [v for _, v in sorted(g_scan.items())]):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-4, err_msg=k)
+
+    def test_odd_tile_override_falls_back_not_crashes(self, monkeypatch):
+        """A non-power-of-two RTVC_GRU_TRAIN_TILE cannot be halved by the
+        picker, so fused_fits must evaluate the ACTUAL pick and report
+        unfittable shapes (dispatch then falls back to scan instead of
+        launching an over-budget kernel)."""
+        from rtvc_tpu.ops.pallas import gru_train_kernel as gk
+
+        monkeypatch.setenv("RTVC_GRU_TRAIN_TILE", "31")
+        assert gk._pick_tile_len(320, 512, 4) == 31
+        assert not gk.fused_fits(320, 512, jnp.float32)
+        assert not gk.fused_ok(320, 512, jnp.float32)
+        # small batch still fits at 31
+        assert gk.fused_fits(40, 512, jnp.float32)
