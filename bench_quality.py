@@ -41,6 +41,11 @@ import numpy as np
 CORPUS_TAG = "real_speech_v2"  # bump when the corpus/budget changes
 PREV_PATH = Path(__file__).parent / "BENCH_QUALITY.json"
 
+# RTVC_QUALITY_FAST=1: tiny training budgets + no artifact write — lets a
+# CPU test drive every metric path end-to-end in minutes (the numbers are
+# meaningless; only the plumbing is under test)
+FAST = __import__("os").environ.get("RTVC_QUALITY_FAST") == "1"
+
 
 def build_corpus(root: Path) -> str:
     """Real-speech corpus from the in-repo fixtures: one 'speaker' per
@@ -176,7 +181,8 @@ def train_tiny_pipeline(root: Path):
     it = speaker_batch_iterator(ds, 2, 3, n_frames=80, prefetch=0, seed=0)
     train_encoder(
         "enc", it, models_dir, speakers_per_batch=2, utterances_per_speaker=3,
-        learning_rate=1e-3, total_steps=100, save_every=100, eer_every=0,
+        learning_rate=1e-3, total_steps=10 if FAST else 100,
+        save_every=100, eer_every=0,
         model=enc_model,
     )
 
@@ -196,7 +202,7 @@ def train_tiny_pipeline(root: Path):
         embed_dims=32, encoder_dims=16, decoder_dims=32, postnet_dims=16,
         encoder_K=4, lstm_dims=32, postnet_K=4, num_highways=2,
         max_decoder_steps=400,
-        tts_schedule=((2, 40, 4, 1e-3, 3e-4),),
+        tts_schedule=((2, 5 if FAST else 40, 4, 1e-3, 3e-4),),
     )
     dataset = SynthesizerDataset(syn_dir, ["mel", "embed"])
 
@@ -205,7 +211,8 @@ def train_tiny_pipeline(root: Path):
 
     tout = train_synthesizer(
         "taco", factories.MODEL_TYPE_TACOTRON, syn_dir, models_dir,
-        epoch_batches, save_every=100, eval_interval=0, max_steps=100,
+        epoch_batches, save_every=100, eval_interval=0,
+        max_steps=10 if FAST else 100,
         override_hp=taco_cfg,
     )
     taco_bundle = factories.init_syn_model(
@@ -219,7 +226,7 @@ def train_tiny_pipeline(root: Path):
     voc_cfg = WaveRNNParams(
         rnn_dims=64, fc_dims=64, compute_dims=32, res_out_dims=32,
         res_blocks=2, bits=8, seq_len=200 * 4,
-        voc_tts_schedule=((800, 1e-3, 3e-4, 4),),
+        voc_tts_schedule=((15 if FAST else 800, 1e-3, 3e-4, 4),),
         gen_target=400, gen_overlap=150,
     )
     voc_dataset = VocoderDataset(
@@ -232,7 +239,8 @@ def train_tiny_pipeline(root: Path):
     vout = train_vocoder(
         "voc", factories.MODEL_TYPE_RUNTIMERACER, models_dir,
         lambda s: voc_batches(voc_dataset, 4, voc_cfg, seed=s),
-        save_every=2000, max_steps=1500, override_hp=voc_cfg,
+        save_every=2000, max_steps=30 if FAST else 1500,
+        override_hp=voc_cfg,
     )
     return models_dir, syn_dir, voc_dir, taco_bundle, vout
 
@@ -432,11 +440,12 @@ def main():
                 "n_metrics": len(results)}
         results.append(gate)
         print(json.dumps(gate), flush=True)
-        Path("BENCH_QUALITY.json").write_text(
-            "\n".join(json.dumps(r) for r in results) + "\n"
-        )
-        if gate["value"] == "fail":
-            raise SystemExit(1)
+        if not FAST:  # fast mode: plumbing only, never record or gate
+            Path("BENCH_QUALITY.json").write_text(
+                "\n".join(json.dumps(r) for r in results) + "\n"
+            )
+            if gate["value"] == "fail":
+                raise SystemExit(1)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
