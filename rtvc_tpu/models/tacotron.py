@@ -471,7 +471,7 @@ def tacotron_forward(
     rng: jax.Array,
     train: bool = True,
     prenet_dropout: bool = True,
-    hoisted: bool = True,
+    hoisted: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Dict]:
     """Teacher-forced pass (ref: tacotron.py:335-391).
 
@@ -492,8 +492,14 @@ def tacotron_forward(
     float summation order); ``hoisted=False`` keeps the per-step oracle
     path the equivalence tests compare against. RNG layout for the prenet
     dropout differs between the two paths (one batched draw vs per-step
-    draws — identically distributed either way).
+    draws — identically distributed either way). Default comes from env
+    ``RTVC_TACO_HOIST`` (unset/1 = hoisted) so bench ablations can flip
+    the path per process.
     """
+    if hoisted is None:
+        import os
+
+        hoisted = os.environ.get("RTVC_TACO_HOIST", "1") != "0"
     B, _, steps = mels.shape
     k_enc, k_dec, k_post, k_pre_all = jax.random.split(rng, 4)
     encoder_seq, encoder_seq_proj, new_stats = encode(
