@@ -109,3 +109,50 @@ class TestHoistedEquivalence:
                                hoisted=False, train=False)
         np.testing.assert_allclose(np.asarray(m_h), np.asarray(m_o),
                                    atol=1e-5)
+
+
+class TestHoistedBf16Policy:
+    def test_bf16_compute_policy_trains(self):
+        """The TPU default combination (hoisted decoder + bf16 compute
+        policy) must produce finite losses and flowing gradients; the f32
+        islands (attention softmax, cumulative scores) keep the alignment
+        math in f32."""
+        import optax
+
+        from rtvc_tpu.models import factories
+        from rtvc_tpu.train.steps import make_tacotron_train_step
+
+        cfg = TacotronParams(
+            embed_dims=16, encoder_dims=8, decoder_dims=16, postnet_dims=8,
+            encoder_K=2, lstm_dims=32, postnet_K=2, num_highways=2,
+        )
+        bundle = factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=cfg
+        )
+        d = bundle.dims
+        opt = optax.adam(1e-3)
+        step = make_tacotron_train_step(d, opt, r=2,
+                                        compute_dtype=jnp.bfloat16)
+        rng = np.random.default_rng(0)
+        B = 4
+        batch = {
+            "chars": jnp.asarray(rng.integers(1, d.num_chars, (B, 8)),
+                                 jnp.int32),
+            "mels": jnp.asarray(rng.standard_normal((B, d.n_mels, 6)),
+                                jnp.float32),
+            "embeds": jnp.asarray(
+                rng.standard_normal((B, d.speaker_embedding_size)),
+                jnp.float32),
+            "stop": jnp.ones((B, 6), jnp.float32),
+        }
+        p = bundle.variables["params"]
+        s = bundle.variables["batch_stats"]
+        o = opt.init(p)
+        losses = []
+        for i in range(3):
+            p, s, o, st, _ = step(p, s, o, batch, jax.random.PRNGKey(i))
+            losses.append(float(st["loss"]))
+        assert all(np.isfinite(losses)), losses
+        # params stay f32 under the policy (mixed-precision contract)
+        leaves = jax.tree_util.tree_leaves(p)
+        assert all(leaf.dtype == jnp.float32 for leaf in leaves)
