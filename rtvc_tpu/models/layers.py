@@ -237,6 +237,19 @@ class GRU(nn.Module):
             h_init = jnp.zeros((B, H), dtype=x.dtype) if h0 is None else h0
 
             if m is None:
+                from rtvc_tpu.ops.pallas.gru_train_kernel import (
+                    fused_ok,
+                    gru_seq_fused,
+                )
+
+                if h0 is None and fused_ok(B, H, xg.dtype):
+                    # Fused Pallas sequence kernel — this is the CBHG
+                    # BiGRU's train path (the Tacotron postnet scans all
+                    # ~900 mel frames per step, the longest recurrence in
+                    # that stage). Same contract as WaveRNN's _gru_seq.
+                    ys = gru_seq_fused(w_hh_t, b_hh, xg,
+                                       jax.default_backend() != "tpu")
+                    return ys, ys[:, -1]
 
                 def step(h, xg_t):
                     h = gru_step(xg_t, h, w_hh_t, b_hh)

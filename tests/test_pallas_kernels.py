@@ -592,3 +592,34 @@ class TestBiLSTMFused:
         assert not gk.fused_ok(320, 512, jnp.float32)
         # small batch still fits at 31
         assert gk.fused_fits(40, 512, jnp.float32)
+
+    def test_cbhg_bigru_fused_matches_scan(self, monkeypatch):
+        """The CBHG BiGRU (layers.GRU, no mask, zero init — the Tacotron
+        encoder/postnet train path) routes through the fused GRU kernel
+        when forced: outputs, h_T, and grads match the scan path."""
+        from rtvc_tpu.models.layers import GRU
+
+        B, T, I, H = 3, 10, 12, 128
+        model = GRU(hidden_size=H, bidirectional=True)
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((B, T, I)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+
+        def loss(p):
+            ys, hT = model.apply({"params": p}, x)
+            return jnp.sum(ys ** 2) + jnp.sum(hT ** 2)
+
+        monkeypatch.setenv("RTVC_FUSED_GRU_TRAIN", "0")
+        y_scan, h_scan = model.apply({"params": params}, x)
+        g_scan = jax.grad(loss)(params)
+        monkeypatch.setenv("RTVC_FUSED_GRU_TRAIN", "1")
+        y_fused, h_fused = model.apply({"params": params}, x)
+        g_fused = jax.grad(loss)(params)
+        np.testing.assert_allclose(np.asarray(y_fused), np.asarray(y_scan),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_scan),
+                                   atol=1e-5)
+        for (k, a), (_, b) in zip(sorted(g_fused.items()),
+                                  sorted(g_scan.items())):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-4, err_msg=k)
