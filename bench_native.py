@@ -51,9 +51,14 @@ def main():
 
     tmp = Path(tempfile.mkdtemp())
     paths = {
-        "dense_unpruned": (variables, 1.1),
-        "dense_pruned": (pruned, 1.1),   # same zeros, dense storage
-        "sparse_pruned": (pruned, 0.5),  # group-sparse storage kicks in
+        "dense_unpruned": (variables, 1.1, "f32"),
+        "dense_pruned": (pruned, 1.1, "f32"),   # same zeros, dense storage
+        "sparse_pruned": (pruned, 0.5, "f32"),  # group-sparse storage
+        # f16 weights (round 4): the sample loop is DRAM-bandwidth-bound,
+        # so halving the streamed bytes ~halves wall time (decode parity
+        # gated in tests/test_native.py::TestF16Weights)
+        "sparse_pruned_f16": (pruned, 0.5, "f16"),
+        "dense_unpruned_f16": (variables, 1.1, "f16"),
     }
     lib = libwavernn._load_lib()
 
@@ -62,9 +67,9 @@ def main():
     mel = rng.uniform(-1, 1, (d.feat_dims, n_frames)).astype(np.float32)
 
     results = {}
-    for name, (v, thresh) in paths.items():
+    for name, (v, thresh, wdt) in paths.items():
         path = tmp / f"{name}.bin"
-        export_wavernn(v, d, path, sparse_threshold=thresh)
+        export_wavernn(v, d, path, sparse_threshold=thresh, weight_dtype=wdt)
         inst = libwavernn._Instance(lib, path)
         inst.set_seed(0)
         wav = inst.mel_to_wav(mel)            # warmup
@@ -88,6 +93,15 @@ def main():
             "unit": "kHz",
             "bin_mb": round(r["bin_mb"], 2),
         }), flush=True)
+    f16_speedup = (results["sparse_pruned_f16"]["khz"]
+                   / results["sparse_pruned"]["khz"])
+    print(json.dumps({
+        "metric": "native_f16_speedup",
+        "value": round(f16_speedup, 2),
+        "unit": "x (f16/f32 weights, sparse, 1 thread)",
+        "khz": round(results["sparse_pruned_f16"]["khz"], 1),
+        "realtime_x": round(results["sparse_pruned_f16"]["khz"] / 16.0, 2),
+    }), flush=True)
     print(json.dumps({
         "metric": "native_sparse_speedup",
         "value": round(speedup, 2),

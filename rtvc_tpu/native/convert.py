@@ -18,11 +18,20 @@ Layout (little-endian):
   int32: n_upsample; int32[n_upsample] factors
   upsample tensors (conv_in w+b, per block w1 b1 w2 b2, conv_out w+b,
                     smoothing kernels) then I, GRUs, FCs in graph order.
-Matrices:  int32 kind (0 dense | 1 sparse), int32 rows, int32 cols, then
-  dense:   float32[rows*cols]
+Matrices:  int32 kind (0 dense f32 | 1 sparse f32 | 2 dense f16 |
+           3 sparse f16), int32 rows, int32 cols, then
+  dense:   float32|float16[rows*cols]
   sparse:  int32 group, int32 n_groups, int32 row_ptr[rows+1],
-           uint16 group_col[n_groups], float32 vals[n_groups*group]
+           uint16 group_col[n_groups], float32|float16 vals[n_groups*group]
 Vectors:   int32 n, float32[n]
+
+fp16 weights (round 4): the per-sample matrices (I, GRU, FC) dominate the
+engine's DRAM traffic and the sample loop is bandwidth-bound on one core
+(measured: dense 2.5 kHz × 9.8 MB ≈ 24 GB/s, sparse 8.2 kHz × 2.5 MB ≈
+21 GB/s — both at the single-core DRAM ceiling), so halving the weight
+bytes halves the wall time; the engine converts f16→f32 in registers
+(F16C) during the GEMV. Upsample/resnet tensors run per-frame, not
+per-sample, and stay f32.
 """
 from __future__ import annotations
 
@@ -47,14 +56,21 @@ def write_vec(f: BinaryIO, v: np.ndarray) -> None:
     f.write(v.tobytes())
 
 
-def write_dense(f: BinaryIO, m: np.ndarray) -> None:
+def _weight_payload(v: np.ndarray, dtype: str) -> bytes:
+    if dtype == "f16":
+        return np.ascontiguousarray(v, dtype=np.float16).tobytes()
+    return np.ascontiguousarray(v, dtype=np.float32).tobytes()
+
+
+def write_dense(f: BinaryIO, m: np.ndarray, dtype: str = "f32") -> None:
     m = np.ascontiguousarray(m, dtype=np.float32)
     assert m.ndim == 2
-    _w(f, "iii", 0, m.shape[0], m.shape[1])
-    f.write(m.tobytes())
+    _w(f, "iii", 0 if dtype == "f32" else 2, m.shape[0], m.shape[1])
+    f.write(_weight_payload(m, dtype))
 
 
-def write_sparse(f: BinaryIO, m: np.ndarray, group: int = 4) -> None:
+def write_sparse(f: BinaryIO, m: np.ndarray, group: int = 4,
+                 dtype: str = "f32") -> None:
     """Group-compressed storage: keep only groups with any nonzero weight."""
     m = np.ascontiguousarray(m, dtype=np.float32)
     rows, cols = m.shape
@@ -72,24 +88,24 @@ def write_sparse(f: BinaryIO, m: np.ndarray, group: int = 4) -> None:
         vals.append(blocks[r, idx].reshape(-1))
     group_cols = np.concatenate(group_cols) if group_cols else np.zeros(0, np.uint16)
     vals = np.concatenate(vals) if vals else np.zeros(0, np.float32)
-    _w(f, "iii", 1, rows, cols)
+    _w(f, "iii", 1 if dtype == "f32" else 3, rows, cols)
     _w(f, "ii", group, int(row_ptr[-1]))
     f.write(row_ptr.tobytes())
     f.write(np.ascontiguousarray(group_cols).tobytes())
-    f.write(np.ascontiguousarray(vals, dtype=np.float32).tobytes())
+    f.write(_weight_payload(vals, dtype))
 
 
 def write_matrix(f: BinaryIO, m: np.ndarray, sparse_threshold: float = 0.5,
-                 group: int = 4) -> None:
+                 group: int = 4, dtype: str = "f32") -> None:
     """Choose dense vs sparse by actual group sparsity."""
     m = np.asarray(m, dtype=np.float32)
     if m.shape[1] % group == 0:
         blocks = m.reshape(m.shape[0], m.shape[1] // group, group)
         zero_frac = float((np.abs(blocks).sum(axis=2) == 0).mean())
         if zero_frac >= sparse_threshold and m.shape[1] // group < 65536:
-            write_sparse(f, m, group)
+            write_sparse(f, m, group, dtype=dtype)
             return
-    write_dense(f, m)
+    write_dense(f, m, dtype=dtype)
 
 
 def fold_batchnorm(
@@ -111,14 +127,17 @@ def fold_batchnorm(
 
 
 def export_wavernn(variables: Dict[str, Any], dims, out_path: Path,
-                   sparse_threshold: float = 0.5) -> None:
+                   sparse_threshold: float = 0.5,
+                   weight_dtype: str = "f32") -> None:
     """Serialize a WaveRNN variables tree (rtvc_tpu.models.wavernn layout)
     for the native engine.
 
     ``sparse_threshold``: group-zero fraction above which Linear/GRU
     matrices are stored group-sparse (>1 forces dense storage — used by the
     sparse-vs-dense benchmark to isolate the kernel effect on identical
-    pruned weights)."""
+    pruned weights). ``weight_dtype``: 'f32' (bit-exact vs the JAX path)
+    or 'f16' for the per-sample matrices (I/GRU/FC) — halves the
+    bandwidth-bound sample loop's DRAM traffic; see module docstring."""
     p = variables["params"]
     s = variables["batch_stats"]
     out_path = Path(out_path)
@@ -182,18 +201,21 @@ def export_wavernn(variables: Dict[str, Any], dims, out_path: Path,
             write_vec(f, np.asarray(p["upsample"]["up_convs"][i]).reshape(-1))
 
         write_matrix(f, np.asarray(p["I"]["weight"]),
-                     sparse_threshold=sparse_threshold)
+                     sparse_threshold=sparse_threshold, dtype=weight_dtype)
         write_vec(f, np.asarray(p["I"]["bias"]))
 
         for nm in rnn_names:
             write_matrix(f, np.asarray(p[nm]["weight_ih_l0"]),
-                         sparse_threshold=sparse_threshold)
+                         sparse_threshold=sparse_threshold,
+                         dtype=weight_dtype)
             write_matrix(f, np.asarray(p[nm]["weight_hh_l0"]),
-                         sparse_threshold=sparse_threshold)
+                         sparse_threshold=sparse_threshold,
+                         dtype=weight_dtype)
             write_vec(f, np.asarray(p[nm]["bias_ih_l0"]))
             write_vec(f, np.asarray(p[nm]["bias_hh_l0"]))
 
         for nm in fc_names:
             write_matrix(f, np.asarray(p[nm]["weight"]),
-                         sparse_threshold=sparse_threshold)
+                         sparse_threshold=sparse_threshold,
+                         dtype=weight_dtype)
             write_vec(f, np.asarray(p[nm].get("bias", np.zeros(0))))

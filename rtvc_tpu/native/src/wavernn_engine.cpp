@@ -7,6 +7,10 @@
 #include <cstdio>
 #include <cstring>
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 namespace rtvc {
 
 namespace {
@@ -33,25 +37,41 @@ struct Reader {
 
 Mat read_mat(Reader& r) {
   Mat m;
-  m.kind = static_cast<TensorKind>(r.scalar<int32_t>());
+  // kinds: 0 dense f32 | 1 sparse f32 | 2 dense f16 | 3 sparse f16
+  const int32_t kind_raw = r.scalar<int32_t>();
+  const bool f16 = kind_raw >= 2;
+  m.kind = (kind_raw % 2 == 0) ? DENSE : GROUP_SPARSE;
   int rows = r.scalar<int32_t>();
   int cols = r.scalar<int32_t>();
   if (m.kind == DENSE) {
     m.dense.rows = rows;
     m.dense.cols = cols;
-    m.dense.w.resize((size_t)rows * cols);
-    r.bytes(m.dense.w.data(), m.dense.w.size() * sizeof(float));
+    m.dense.f16 = f16;
+    if (f16) {
+      m.dense.w16.resize((size_t)rows * cols);
+      r.bytes(m.dense.w16.data(), m.dense.w16.size() * sizeof(uint16_t));
+    } else {
+      m.dense.w.resize((size_t)rows * cols);
+      r.bytes(m.dense.w.data(), m.dense.w.size() * sizeof(float));
+    }
   } else {
     m.sparse.rows = rows;
     m.sparse.cols = cols;
+    m.sparse.f16 = f16;
     m.sparse.group = r.scalar<int32_t>();
     int32_t n_groups = r.scalar<int32_t>();
     m.sparse.row_ptr.resize(rows + 1);
     r.bytes(m.sparse.row_ptr.data(), (rows + 1) * sizeof(int32_t));
     m.sparse.group_col.resize(n_groups);
     r.bytes(m.sparse.group_col.data(), n_groups * sizeof(uint16_t));
-    m.sparse.vals.resize((size_t)n_groups * m.sparse.group);
-    r.bytes(m.sparse.vals.data(), m.sparse.vals.size() * sizeof(float));
+    if (f16) {
+      m.sparse.vals16.resize((size_t)n_groups * m.sparse.group);
+      r.bytes(m.sparse.vals16.data(),
+              m.sparse.vals16.size() * sizeof(uint16_t));
+    } else {
+      m.sparse.vals.resize((size_t)n_groups * m.sparse.group);
+      r.bytes(m.sparse.vals.data(), m.sparse.vals.size() * sizeof(float));
+    }
   }
   return m;
 }
@@ -102,9 +122,61 @@ inline float fast_tanhf(float x) {
 
 }  // namespace
 
+// scalar IEEE half → float (fallback when F16C is unavailable)
+inline float half_to_float(uint16_t h) {
+  const uint32_t sign = (uint32_t)(h & 0x8000u) << 16;
+  uint32_t exp = (h >> 10) & 0x1f;
+  uint32_t man = h & 0x3ffu;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;  // ±0
+    } else {        // subnormal: normalize
+      exp = 127 - 15 + 1;
+      while ((man & 0x400u) == 0) {
+        man <<= 1;
+        --exp;
+      }
+      man &= 0x3ffu;
+      bits = sign | (exp << 23) | (man << 13);
+    }
+  } else if (exp == 0x1f) {
+    bits = sign | 0x7f800000u | (man << 13);  // inf/nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
 void gemv_acc(const Mat& m, const float* x, float* y) {
   if (m.kind == DENSE) {
     const int rows = m.dense.rows, cols = m.dense.cols;
+    if (m.dense.f16) {
+      for (int r = 0; r < rows; ++r) {
+        const uint16_t* w = m.dense.row16(r);
+        float acc = 0.f;
+#if defined(__F16C__) && defined(__AVX2__)
+        __m256 vacc = _mm256_setzero_ps();
+        int c = 0;
+        for (; c + 8 <= cols; c += 8) {
+          const __m256 wf = _mm256_cvtph_ps(
+              _mm_loadu_si128(reinterpret_cast<const __m128i*>(w + c)));
+          vacc = _mm256_fmadd_ps(wf, _mm256_loadu_ps(x + c), vacc);
+        }
+        alignas(32) float lanes[8];
+        _mm256_store_ps(lanes, vacc);
+        acc = ((lanes[0] + lanes[1]) + (lanes[2] + lanes[3])) +
+              ((lanes[4] + lanes[5]) + (lanes[6] + lanes[7]));
+        for (; c < cols; ++c) acc += half_to_float(w[c]) * x[c];
+#else
+        for (int c = 0; c < cols; ++c) acc += half_to_float(w[c]) * x[c];
+#endif
+        y[r] += acc;
+      }
+      return;
+    }
     for (int r = 0; r < rows; ++r) {
       const float* w = m.dense.row(r);
       float acc = 0.f;
@@ -114,16 +186,92 @@ void gemv_acc(const Mat& m, const float* x, float* y) {
   } else {
     const auto& s = m.sparse;
     const int g = s.group;
+    if (s.f16 && g == 4) {
+      // f16 group-4 kernel: two groups per 256-bit FMA — one 128-bit
+      // load of 8 halfs (the bandwidth win), F16C convert in registers,
+      // x gathered as two 128-bit lane loads.
+      const uint16_t* vals = s.vals16.data();
+      const uint16_t* gcol = s.group_col.data();
+      for (int r = 0; r < s.rows; ++r) {
+        const int32_t p0 = s.row_ptr[r], p1 = s.row_ptr[r + 1];
+        float acc = 0.f;
+        int32_t p = p0;
+#if defined(__F16C__) && defined(__AVX2__)
+        __m256 vacc = _mm256_setzero_ps();
+        for (; p + 2 <= p1; p += 2) {
+          const __m256 wf = _mm256_cvtph_ps(_mm_loadu_si128(
+              reinterpret_cast<const __m128i*>(vals + (size_t)p * 4)));
+          const __m128 x0 = _mm_loadu_ps(x + (size_t)gcol[p] * 4);
+          const __m128 x1 = _mm_loadu_ps(x + (size_t)gcol[p + 1] * 4);
+          const __m256 xv =
+              _mm256_insertf128_ps(_mm256_castps128_ps256(x0), x1, 1);
+          vacc = _mm256_fmadd_ps(wf, xv, vacc);
+        }
+        alignas(32) float lanes[8];
+        _mm256_store_ps(lanes, vacc);
+        acc = ((lanes[0] + lanes[1]) + (lanes[2] + lanes[3])) +
+              ((lanes[4] + lanes[5]) + (lanes[6] + lanes[7]));
+#endif
+        for (; p < p1; ++p) {
+          const uint16_t* w = vals + (size_t)p * 4;
+          const float* xv = x + (size_t)gcol[p] * 4;
+          acc += half_to_float(w[0]) * xv[0] + half_to_float(w[1]) * xv[1] +
+                 half_to_float(w[2]) * xv[2] + half_to_float(w[3]) * xv[3];
+        }
+        y[r] += acc;
+      }
+      return;
+    }
+    if (s.f16) {  // generic group size, f16
+      for (int r = 0; r < s.rows; ++r) {
+        float acc = 0.f;
+        for (int32_t p = s.row_ptr[r]; p < s.row_ptr[r + 1]; ++p) {
+          const uint16_t* w = s.vals16.data() + (size_t)p * g;
+          const float* xv = x + (size_t)s.group_col[p] * g;
+          for (int k = 0; k < g; ++k) acc += half_to_float(w[k]) * xv[k];
+        }
+        y[r] += acc;
+      }
+      return;
+    }
     if (g == 4) {
-      // the production group size — compile-time-4 inner product so the
-      // compiler emits one 128-bit mul+hadd per group instead of a
-      // runtime-length scalar loop (the generic path below cannot unroll)
+      // the production group size. AVX2 path: TWO groups per 256-bit FMA
+      // (weights for consecutive groups are contiguous — one 256-bit
+      // load), with two independent accumulators to hide FMA latency in
+      // the dependent chain; scalar-4-lane fallback otherwise.
       const float* vals = s.vals.data();
       const uint16_t* gcol = s.group_col.data();
       for (int r = 0; r < s.rows; ++r) {
-        float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
         const int32_t p0 = s.row_ptr[r], p1 = s.row_ptr[r + 1];
-        for (int32_t p = p0; p < p1; ++p) {
+        float acc = 0.f;
+        int32_t p = p0;
+#if defined(__AVX2__) && defined(__FMA__)
+        __m256 vacc0 = _mm256_setzero_ps();
+        __m256 vacc1 = _mm256_setzero_ps();
+        for (; p + 4 <= p1; p += 4) {
+          const float* w = vals + (size_t)p * 4;
+          const __m256 xv0 = _mm256_insertf128_ps(
+              _mm256_castps128_ps256(_mm_loadu_ps(x + (size_t)gcol[p] * 4)),
+              _mm_loadu_ps(x + (size_t)gcol[p + 1] * 4), 1);
+          const __m256 xv1 = _mm256_insertf128_ps(
+              _mm256_castps128_ps256(
+                  _mm_loadu_ps(x + (size_t)gcol[p + 2] * 4)),
+              _mm_loadu_ps(x + (size_t)gcol[p + 3] * 4), 1);
+          vacc0 = _mm256_fmadd_ps(_mm256_loadu_ps(w), xv0, vacc0);
+          vacc1 = _mm256_fmadd_ps(_mm256_loadu_ps(w + 8), xv1, vacc1);
+        }
+        alignas(32) float lanes[8];
+        _mm256_store_ps(lanes, _mm256_add_ps(vacc0, vacc1));
+        acc = ((lanes[0] + lanes[1]) + (lanes[2] + lanes[3])) +
+              ((lanes[4] + lanes[5]) + (lanes[6] + lanes[7]));
+        for (; p < p1; ++p) {
+          const float* w = vals + (size_t)p * 4;
+          const float* xv = x + (size_t)gcol[p] * 4;
+          acc += w[0] * xv[0] + w[1] * xv[1] + w[2] * xv[2] + w[3] * xv[3];
+        }
+#else
+        float a0 = 0.f, a1 = 0.f, a2 = 0.f, a3 = 0.f;
+        for (; p < p1; ++p) {
           const float* w = vals + (size_t)p * 4;
           const float* xv = x + (size_t)gcol[p] * 4;
           a0 += w[0] * xv[0];
@@ -131,7 +279,9 @@ void gemv_acc(const Mat& m, const float* x, float* y) {
           a2 += w[2] * xv[2];
           a3 += w[3] * xv[3];
         }
-        y[r] += (a0 + a1) + (a2 + a3);
+        acc = (a0 + a1) + (a2 + a3);
+#endif
+        y[r] += acc;
       }
     } else {
       for (int r = 0; r < s.rows; ++r) {

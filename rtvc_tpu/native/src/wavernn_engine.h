@@ -28,17 +28,26 @@ enum TensorKind : int32_t { DENSE = 0, GROUP_SPARSE = 1 };
 
 struct DenseMat {
   int rows = 0, cols = 0;
-  std::vector<float> w;  // row-major
+  bool f16 = false;        // weights held as IEEE half (w16), else f32 (w)
+  std::vector<float> w;    // row-major (f32 storage)
+  std::vector<uint16_t> w16;  // row-major (f16 storage)
   const float* row(int r) const { return w.data() + (size_t)r * cols; }
+  const uint16_t* row16(int r) const { return w16.data() + (size_t)r * cols; }
 };
 
 // CSR-of-groups: each row stores a list of group-column indices and a
 // contiguous block of group_size weights per group.
+// f16 storage (round 4): the per-sample loop is DRAM-bandwidth-bound on
+// one core (bytes/sample × samples/s ≈ the single-core DRAM ceiling in
+// the round-4 measurements), so halving the streamed weight bytes ≈
+// halves the wall time; the GEMV converts half→float in registers.
 struct SparseMat {
   int rows = 0, cols = 0, group = 4;
+  bool f16 = false;
   std::vector<int32_t> row_ptr;    // rows+1 entries into groups/vals
   std::vector<uint16_t> group_col; // per group: column/group index
   std::vector<float> vals;         // per group: group contiguous weights
+  std::vector<uint16_t> vals16;    // f16 storage variant
 };
 
 // A weight matrix that is either dense or group-sparse.

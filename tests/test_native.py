@@ -354,3 +354,57 @@ class TestNativeRobustness:
         with pytest.raises(FileNotFoundError):
             Vocoder(tmp_path / "nope.bin", "runtimeracer-wavernn",
                     verbose=False).load(n_threads=1)
+
+
+class TestF16Weights:
+    """fp16 weight storage (round 4): the per-sample loop is
+    DRAM-bandwidth-bound, so the converter can store I/GRU/FC weights as
+    IEEE half and the engine converts in registers (F16C). Decode must
+    stay effectively identical to the f32-weight decode."""
+
+    def test_f16_decode_matches_f32(self, tmp_path):
+        d = _dims(VOC_RUNTIMERACER, "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        w32 = tmp_path / "m32.bin"
+        w16 = tmp_path / "m16.bin"
+        export_wavernn(variables, d, w32)
+        export_wavernn(variables, d, w16, weight_dtype="f16")
+        assert w16.stat().st_size < w32.stat().st_size
+
+        rng = np.random.default_rng(3)
+        mel = rng.uniform(-1, 1, (d.feat_dims, 12)).astype(np.float32)
+        a = _native_generate(w32, mel, argmax=True)
+        b = _native_generate(w16, mel, argmax=True)
+        assert a.shape == b.shape
+        # greedy labels under fp16-rounded weights: near-total agreement
+        # (same bar as the TPU bf16-stream guard)
+        agree = float(np.mean(a == b))
+        assert agree > 0.95, agree
+
+    def test_f16_sparse_decode_matches_f32(self, tmp_path):
+        from rtvc_tpu.train.pruning import (
+            apply_prune_masks,
+            compute_prune_masks,
+        )
+
+        d = _dims(VOC_RUNTIMERACER, "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        masks = compute_prune_masks(
+            variables["params"], d, jnp.asarray(100), 0, 100, 0.8, 0.8, 4
+        )
+        variables = {
+            "params": apply_prune_masks(variables["params"], masks),
+            "batch_stats": variables["batch_stats"],
+        }
+        w32 = tmp_path / "s32.bin"
+        w16 = tmp_path / "s16.bin"
+        export_wavernn(variables, d, w32, sparse_threshold=0.3)
+        export_wavernn(variables, d, w16, sparse_threshold=0.3,
+                       weight_dtype="f16")
+        assert w16.stat().st_size < w32.stat().st_size
+        rng = np.random.default_rng(4)
+        mel = rng.uniform(-1, 1, (d.feat_dims, 12)).astype(np.float32)
+        a = _native_generate(w32, mel, argmax=True)
+        b = _native_generate(w16, mel, argmax=True)
+        agree = float(np.mean(a == b))
+        assert agree > 0.95, agree
