@@ -83,6 +83,28 @@ def main():
         results[name] = {"khz": khz, "bin_mb": path.stat().st_size / 2**20}
         del inst
 
+    # lockstep ILP batching (round 4): B fold chunks per instance call
+    from rtvc_tpu.native.libwavernn import _Instance
+
+    inst = _Instance(lib, tmp / "sparse_pruned.bin")
+    inst.set_seed(0)
+    n_chunk = 34  # ~ one fold chunk (gen_target/hop + 2*overlap/hop)
+    for B in (4, 8):
+        mels = rng.uniform(-1, 1, (B, d.feat_dims, n_chunk)).astype(np.float32)
+        inst.mel_to_wav_batch(mels)  # warm
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            w = inst.mel_to_wav_batch(mels)
+            times.append(time.perf_counter() - t0)
+        khz = w.size / float(np.median(times)) / 1000.0
+        print(json.dumps({
+            "metric": f"native_sparse_lockstep_b{B}",
+            "value": round(khz, 1), "unit": "kHz",
+            "realtime_x": round(khz / 16.0, 2),
+        }), flush=True)
+    del inst
+
     speedup = results["sparse_pruned"]["khz"] / results["dense_pruned"]["khz"]
     shrink = (results["dense_pruned"]["bin_mb"]
               / results["sparse_pruned"]["bin_mb"])

@@ -50,6 +50,17 @@ def _load_lib(path: Path = _LIB_PATH) -> ctypes.CDLL:
         ctypes.c_int,
     ]
     lib.rtvc_vocoder_mel_to_wav.restype = ctypes.c_long
+    lib.rtvc_vocoder_mel_to_wav_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_long,
+        ctypes.c_int,
+    ]
+    lib.rtvc_vocoder_mel_to_wav_batch.restype = ctypes.c_long
     return lib
 
 
@@ -92,6 +103,31 @@ class _Instance:
         if n < 0:
             raise RuntimeError("native mel_to_wav failed")
         return out[:n]
+
+    def mel_to_wav_batch(self, mels: np.ndarray,
+                         argmax: bool = False) -> np.ndarray:
+        """mels (B, n_mels, n_frames) → (B, T). All chunks advance in
+        LOCKSTEP inside the engine: each weight matrix is traversed once
+        per sample step for the whole batch, so B independent AR chains
+        fill the FMA pipe a single chain leaves idle — the CPU analogue
+        of the TPU fold batching (BENCHMARKS.md round 4)."""
+        mels = np.ascontiguousarray(mels, dtype=np.float32)
+        B, n_mels, n_frames = mels.shape
+        cap = B * (n_frames * self.hop + 16)
+        out = np.zeros(cap, dtype=np.float32)
+        t = self._lib.rtvc_vocoder_mel_to_wav_batch(
+            self._h,
+            mels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            B,
+            n_mels,
+            n_frames,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cap,
+            1 if argmax else 0,
+        )
+        if t < 0:
+            raise RuntimeError("native mel_to_wav_batch failed")
+        return out[: B * t].reshape(B, t)
 
 
 def fold_mel_with_overlap(
@@ -145,10 +181,17 @@ class Vocoder:
     ``Vocoder(model_fpath, model_type).load(); vocode_mel(mel)``."""
 
     def __init__(self, model_fpath, model_type: str = "runtimeracer-wavernn",
-                 verbose: bool = True):
+                 verbose: bool = True, batch: int = 1):
+        """``batch`` > 1 decodes fold chunks in LOCKSTEP inside one
+        instance (ILP batching) instead of one-chunk-per-thread — the
+        single-core throughput mode (BENCHMARKS.md round 4). Lockstep
+        decoding is not bit-identical to per-chunk decoding (different
+        FMA reduction order), so the default keeps the reference's
+        fan-out contract (pool-size-invariant audio)."""
         self.model_fpath = Path(model_fpath)
         self.model_type = model_type
         self.verbose = verbose
+        self.batch = max(int(batch), 1)
         self.cfg = {
             "fatchord-wavernn": voc_cfg.wavernn_fatchord,
             "geneing-wavernn": voc_cfg.wavernn_geneing,
@@ -214,7 +257,28 @@ class Vocoder:
             inst = self._instances[i % len(self._instances)]
             return offset, inst.mel_to_wav(chunk, argmax=argmax)
 
-        if len(chunks) == 1 or len(self._instances) == 1:
+        if self.batch > 1 and len(chunks) > 1:
+            # lockstep ILP batching on instance 0: group equal-length
+            # chunks (the fold makes all but the last equal), sub-batch
+            results = []
+            by_len = {}
+            for off, chunk in chunks:
+                by_len.setdefault(chunk.shape[1], []).append((off, chunk))
+            inst = self._instances[0]
+            for group in by_len.values():
+                for i in range(0, len(group), self.batch):
+                    sub = group[i : i + self.batch]
+                    if len(sub) == 1:
+                        results.append(
+                            (sub[0][0],
+                             inst.mel_to_wav(sub[0][1], argmax=argmax)))
+                        continue
+                    wavs = inst.mel_to_wav_batch(
+                        np.stack([c for _, c in sub]), argmax=argmax)
+                    results.extend(
+                        (off, wavs[j]) for j, (off, _) in enumerate(sub))
+            results.sort(key=lambda r: r[0])
+        elif len(chunks) == 1 or len(self._instances) == 1:
             results = [run((i, c)) for i, c in enumerate(chunks)]
         else:
             with ThreadPoolExecutor(max_workers=len(self._instances)) as pool:

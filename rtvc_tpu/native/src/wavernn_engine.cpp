@@ -297,6 +297,84 @@ void gemv_acc(const Mat& m, const float* x, float* y) {
   }
 }
 
+void gemv_acc_multi(const Mat& m, const float* const* xs, float* const* ys,
+                    int B) {
+  if (B == 1) {  // keep the single-x kernels' tuning
+    gemv_acc(m, xs[0], ys[0]);
+    return;
+  }
+  constexpr int kMaxB = 8;
+  if (m.kind == GROUP_SPARSE && m.sparse.group == 4 && !m.sparse.f16 &&
+      B <= kMaxB) {
+    const auto& s = m.sparse;
+    const float* vals = s.vals.data();
+    const uint16_t* gcol = s.group_col.data();
+    for (int r = 0; r < s.rows; ++r) {
+      const int32_t p0 = s.row_ptr[r], p1 = s.row_ptr[r + 1];
+#if defined(__AVX2__) && defined(__FMA__)
+      __m128 acc[kMaxB];
+      for (int b = 0; b < B; ++b) acc[b] = _mm_setzero_ps();
+      for (int32_t p = p0; p < p1; ++p) {
+        const __m128 w = _mm_loadu_ps(vals + (size_t)p * 4);
+        const size_t off = (size_t)gcol[p] * 4;
+        for (int b = 0; b < B; ++b)
+          acc[b] = _mm_fmadd_ps(w, _mm_loadu_ps(xs[b] + off), acc[b]);
+      }
+      for (int b = 0; b < B; ++b) {
+        alignas(16) float l[4];
+        _mm_store_ps(l, acc[b]);
+        ys[b][r] += (l[0] + l[1]) + (l[2] + l[3]);
+      }
+#else
+      float acc[kMaxB] = {0};
+      for (int32_t p = p0; p < p1; ++p) {
+        const float* w = vals + (size_t)p * 4;
+        const size_t off = (size_t)gcol[p] * 4;
+        for (int b = 0; b < B; ++b) {
+          const float* xv = xs[b] + off;
+          acc[b] += w[0] * xv[0] + w[1] * xv[1] + w[2] * xv[2] + w[3] * xv[3];
+        }
+      }
+      for (int b = 0; b < B; ++b) ys[b][r] += acc[b];
+#endif
+    }
+    return;
+  }
+  if (m.kind == DENSE && !m.dense.f16 && B <= kMaxB) {
+    const int rows = m.dense.rows, cols = m.dense.cols;
+    for (int r = 0; r < rows; ++r) {
+      const float* w = m.dense.row(r);
+#if defined(__AVX2__) && defined(__FMA__)
+      __m256 acc[kMaxB];
+      for (int b = 0; b < B; ++b) acc[b] = _mm256_setzero_ps();
+      int c = 0;
+      for (; c + 8 <= cols; c += 8) {
+        const __m256 wv = _mm256_loadu_ps(w + c);
+        for (int b = 0; b < B; ++b)
+          acc[b] = _mm256_fmadd_ps(wv, _mm256_loadu_ps(xs[b] + c), acc[b]);
+      }
+      for (int b = 0; b < B; ++b) {
+        alignas(32) float l[8];
+        _mm256_store_ps(l, acc[b]);
+        float a = ((l[0] + l[1]) + (l[2] + l[3])) +
+                  ((l[4] + l[5]) + (l[6] + l[7]));
+        for (int cc = c; cc < cols; ++cc) a += w[cc] * xs[b][cc];
+        ys[b][r] += a;
+      }
+#else
+      for (int b = 0; b < B; ++b) {
+        float a = 0.f;
+        for (int c = 0; c < cols; ++c) a += w[c] * xs[b][c];
+        ys[b][r] += a;
+      }
+#endif
+    }
+    return;
+  }
+  // uncommon kinds (f16, generic group): per-batch fallback
+  for (int b = 0; b < B; ++b) gemv_acc(m, xs[b], ys[b]);
+}
+
 void gemv(const Linear& lin, const float* x, float* y) {
   const int rows = lin.w.rows();
   if (!lin.b.empty())
@@ -450,11 +528,16 @@ float Model::sample_beta(const float* logits, bool argmax) {
   return (float)(2.0 * (x / (x + y)) - 1.0);
 }
 
-std::vector<float> Model::generate(const float* mel, int n_frames,
-                                   bool argmax_sampling) {
-  const int F = feat_dims;
+// Conditioning prep shared by the (batched) sample loop: pad the mel,
+// run the aux resnet, stretch+smooth upsample. Fills `cur` (t_cur, F)
+// and `aux` (n_frames, res_out); returns T = samples to generate.
+static int prepare_conditioning(const Model& mo, const float* mel,
+                                int n_frames, std::vector<float>& cur,
+                                std::vector<float>& aux) {
+  const int F = mo.feat_dims;
+  const int pad = mo.pad;
   int scale = 1;
-  for (int s : upsample.factors) scale *= s;
+  for (int s : mo.upsample.factors) scale *= s;
 
   // ---- pad mel by `pad` frames on both sides -----------------------------
   const int padded = n_frames + 2 * pad;
@@ -466,13 +549,13 @@ std::vector<float> Model::generate(const float* mel, int n_frames,
   // ---- aux resnet (VALID conv_in + 1x1 blocks) ----------------------------
   const int k_in = 2 * pad + 1;
   const int t_aux = padded - k_in + 1;  // == n_frames
-  const int compute = upsample.conv_in_w.rows;
+  const int compute = mo.upsample.conv_in_w.rows;
   std::vector<float> h((size_t)t_aux * compute);
   for (int t = 0; t < t_aux; ++t) {
     float* out = h.data() + (size_t)t * compute;
     for (int rrow = 0; rrow < compute; ++rrow) {
-      const float* w = upsample.conv_in_w.row(rrow);  // (F*k_in)
-      float acc = upsample.conv_in_b[rrow];
+      const float* w = mo.upsample.conv_in_w.row(rrow);  // (F*k_in)
+      float acc = mo.upsample.conv_in_b[rrow];
       for (int k = 0; k < k_in; ++k) {
         const float* xt = mel_p.data() + (size_t)(t + k) * F;
         const float* wk = w + (size_t)k * F;
@@ -482,7 +565,7 @@ std::vector<float> Model::generate(const float* mel, int n_frames,
     }
   }
   std::vector<float> tmp(compute);
-  for (const auto& blk : upsample.blocks) {
+  for (const auto& blk : mo.upsample.blocks) {
     for (int t = 0; t < t_aux; ++t) {
       float* x = h.data() + (size_t)t * compute;
       for (int rrow = 0; rrow < compute; ++rrow) {
@@ -499,25 +582,25 @@ std::vector<float> Model::generate(const float* mel, int n_frames,
       }
     }
   }
-  const int res_out = upsample.conv_out_w.rows;
-  std::vector<float> aux((size_t)t_aux * res_out);
+  const int res_out = mo.upsample.conv_out_w.rows;
+  aux.assign((size_t)t_aux * res_out, 0.f);
   for (int t = 0; t < t_aux; ++t) {
     const float* x = h.data() + (size_t)t * compute;
     float* out = aux.data() + (size_t)t * res_out;
     for (int rrow = 0; rrow < res_out; ++rrow) {
-      const float* w = upsample.conv_out_w.row(rrow);
-      float acc = upsample.conv_out_b[rrow];
+      const float* w = mo.upsample.conv_out_w.row(rrow);
+      float acc = mo.upsample.conv_out_b[rrow];
       for (int c = 0; c < compute; ++c) acc += w[c] * x[c];
       out[rrow] = acc;
     }
   }
 
   // ---- mel upsampling: stretch + channel-shared smoothing ------------------
-  std::vector<float> cur = mel_p;  // (T, F)
+  cur = mel_p;  // (T, F)
   int t_cur = padded;
-  for (size_t s_i = 0; s_i < upsample.factors.size(); ++s_i) {
-    const int s = upsample.factors[s_i];
-    const auto& kern = upsample.smooth[s_i];
+  for (size_t s_i = 0; s_i < mo.upsample.factors.size(); ++s_i) {
+    const int s = mo.upsample.factors[s_i];
+    const auto& kern = mo.upsample.smooth[s_i];
     const int K = (int)kern.size();
     const int t_new = t_cur * s;
     std::vector<float> stretched((size_t)t_new * F);
@@ -540,114 +623,214 @@ std::vector<float> Model::generate(const float* mel, int n_frames,
     cur.swap(conv);
     t_cur = t_new;
   }
-  const int indent = pad * scale;
-  const int T = t_cur - 2 * indent;  // samples to generate
+  return t_cur - 2 * pad * scale;  // samples to generate
+}
 
-  // ---- AR sample loop ------------------------------------------------------
+std::vector<float> Model::generate(const float* mel, int n_frames,
+                                   bool argmax_sampling) {
+  return generate_batch(mel, 1, n_frames, argmax_sampling);
+}
+
+std::vector<float> Model::generate_batch(const float* mels, int n_batch,
+                                         int n_frames,
+                                         bool argmax_sampling) {
+  const int B = n_batch;
+  const int F = feat_dims;
   const int R = rnn_dims;
   const int A = aux_dims;
+  int scale = 1;
+  for (int s : upsample.factors) scale *= s;
+  const int indent = pad * scale;
+  const int res_out = upsample.conv_out_w.rows;
+
+  std::vector<std::vector<float>> cur(B), aux(B);
+  int T = 0;
+  for (int b = 0; b < B; ++b)
+    T = prepare_conditioning(*this, mels + (size_t)b * F * n_frames,
+                             n_frames, cur[b], aux[b]);
+
+  // ---- AR sample loop: B chunks in lockstep --------------------------------
   const int i_in = I.w.cols();  // 1 + F + (A-1)
-  std::vector<float> x_in(i_in), xg(3 * R), xI(R);
-  std::vector<float> logits(n_classes);
-  std::vector<float> fc_buf((size_t)std::max(n_classes, fc_dims + A));
-  std::vector<float> fc_in((size_t)std::max({R + A, fc_dims + A, fc_dims}));
-  std::vector<float> scratch;
-  std::vector<std::vector<float>> hs(rnns.size(), std::vector<float>(R, 0.f));
-  std::vector<float> wav(T);
-  float sample = 0.f;
+  const size_t fci_s = (size_t)std::max({R + A, fc_dims + A, fc_dims});
+  const size_t fcb_s = (size_t)std::max(n_classes, fc_dims + A);
+  std::vector<float> x_in((size_t)B * i_in), xI((size_t)B * R);
+  std::vector<float> xg((size_t)B * 3 * R), hh((size_t)B * 3 * R);
+  std::vector<float> fc_in((size_t)B * fci_s), fc_buf((size_t)B * fcb_s);
+  std::vector<float> logits((size_t)B * n_classes);
+  std::vector<std::vector<float>> hs(rnns.size(),
+                                     std::vector<float>((size_t)B * R, 0.f));
+  std::vector<const float*> xp(B);
+  std::vector<float*> yp(B);
+  std::vector<float> wav((size_t)B * T);
+  std::vector<float> sample(B, 0.f);
+
+  auto fc_multi = [&](int fi, const float* in_base, size_t in_s,
+                      float* out_base, size_t out_s) {
+    const Linear& L = fcs[fi];
+    const int rows = L.w.rows();
+    for (int b = 0; b < B; ++b) {
+      float* o = out_base + (size_t)b * out_s;
+      if (!L.b.empty())
+        std::memcpy(o, L.b.data(), rows * sizeof(float));
+      else
+        std::memset(o, 0, rows * sizeof(float));
+      xp[b] = in_base + (size_t)b * in_s;
+      yp[b] = o;
+    }
+    gemv_acc_multi(L.w, xp.data(), yp.data(), B);
+  };
+
+  // xg = W_ih · concat(xI, extra) + b_ih; hh = W_hh · h + b_hh; gates.
+  // extra_off: byte offset into the per-b aux frame (-1 = none).
+  auto run_gru_multi = [&](int gi, int extra_off, int extra_n,
+                           const float* const* extras) {
+    const Gru& g = rnns[gi];
+    (void)extra_off;
+    for (int b = 0; b < B; ++b) {
+      float* in_b = fc_in.data() + (size_t)b * fci_s;
+      std::memcpy(in_b, xI.data() + (size_t)b * R, R * sizeof(float));
+      if (extra_n)
+        std::memcpy(in_b + R, extras[b], extra_n * sizeof(float));
+      float* xg_b = xg.data() + (size_t)b * 3 * R;
+      if (!g.b_ih.empty())
+        std::memcpy(xg_b, g.b_ih.data(), 3 * R * sizeof(float));
+      else
+        std::memset(xg_b, 0, 3 * R * sizeof(float));
+      xp[b] = in_b;
+      yp[b] = xg_b;
+    }
+    gemv_acc_multi(g.w_ih, xp.data(), yp.data(), B);
+    for (int b = 0; b < B; ++b) {
+      float* hh_b = hh.data() + (size_t)b * 3 * R;
+      if (!g.b_hh.empty())
+        std::memcpy(hh_b, g.b_hh.data(), 3 * R * sizeof(float));
+      else
+        std::memset(hh_b, 0, 3 * R * sizeof(float));
+      xp[b] = hs[gi].data() + (size_t)b * R;
+      yp[b] = hh_b;
+    }
+    gemv_acc_multi(g.w_hh, xp.data(), yp.data(), B);
+    const int H = g.hidden;
+    for (int b = 0; b < B; ++b) {
+      const float* xg_b = xg.data() + (size_t)b * 3 * R;
+      const float* hh_b = hh.data() + (size_t)b * 3 * R;
+      float* h = hs[gi].data() + (size_t)b * R;
+      float* x = xI.data() + (size_t)b * R;
+      for (int i = 0; i < H; ++i) {
+        float r = sigmoidf(xg_b[i] + hh_b[i]);
+        float z = sigmoidf(xg_b[H + i] + hh_b[H + i]);
+        float n = fast_tanhf(xg_b[2 * H + i] + r * hh_b[2 * H + i]);
+        h[i] = (1.f - z) * n + z * h[i];
+        x[i] += h[i];  // residual add (every variant adds the GRU output)
+      }
+    }
+  };
+
+  std::vector<const float*> extras(B);
+  auto aux_ptrs = [&](int t, int seg) {
+    const int frame = t / scale;
+    for (int b = 0; b < B; ++b)
+      extras[b] = aux[b].data() + (size_t)frame * res_out + (size_t)seg * A;
+    return extras.data();
+  };
+  auto relu_block = [&](float* base, size_t stride, int n) {
+    for (int b = 0; b < B; ++b) {
+      float* v = base + (size_t)b * stride;
+      for (int i = 0; i < n; ++i) v[i] = std::max(v[i], 0.f);
+    }
+  };
+  auto append_aux = [&](float* base, size_t stride, int at, int t, int seg) {
+    const int frame = t / scale;
+    for (int b = 0; b < B; ++b)
+      std::memcpy(base + (size_t)b * stride + at,
+                  aux[b].data() + (size_t)frame * res_out + (size_t)seg * A,
+                  A * sizeof(float));
+  };
 
   for (int t = 0; t < T; ++t) {
-    const float* m_t = cur.data() + (size_t)(t + indent) * F;
     const int frame = t / scale;  // aux frame index
-    const float* aux_t = aux.data() + (size_t)frame * res_out;
-    const float* a1 = aux_t;
-    const float* a2 = aux_t + A;
-    const float* a3 = aux_t + 2 * A;
-    const float* a4 = aux_t + 3 * A;
-
-    // input vector [sample, mel_t, a1[:-1]]
-    x_in[0] = sample;
-    std::memcpy(&x_in[1], m_t, F * sizeof(float));
-    std::memcpy(&x_in[1 + F], a1, (A - 1) * sizeof(float));
-    gemv(I, x_in.data(), xI.data());
-
-    auto run_gru = [&](int gi, const float* extra, int extra_n,
-                       const float* state_in) {
-      const Gru& g = rnns[gi];
-      // xg = W_ih · concat(state_in, extra) + b_ih
-      std::vector<float>& in = fc_in;
-      std::memcpy(in.data(), state_in, R * sizeof(float));
-      if (extra_n) std::memcpy(in.data() + R, extra, extra_n * sizeof(float));
-      if (!g.b_ih.empty())
-        std::memcpy(xg.data(), g.b_ih.data(), 3 * R * sizeof(float));
+    for (int b = 0; b < B; ++b) {
+      const float* m_t = cur[b].data() + (size_t)(t + indent) * F;
+      const float* a1 = aux[b].data() + (size_t)frame * res_out;
+      float* in_b = x_in.data() + (size_t)b * i_in;
+      // input vector [sample, mel_t, a1[:-1]]
+      in_b[0] = sample[b];
+      std::memcpy(in_b + 1, m_t, F * sizeof(float));
+      std::memcpy(in_b + 1 + F, a1, (A - 1) * sizeof(float));
+      float* o = xI.data() + (size_t)b * R;
+      if (!I.b.empty())
+        std::memcpy(o, I.b.data(), R * sizeof(float));
       else
-        std::memset(xg.data(), 0, 3 * R * sizeof(float));
-      gemv_acc(g.w_ih, in.data(), xg.data());
-      gru_step(g, xg.data(), scratch, hs[gi].data());
-    };
+        std::memset(o, 0, R * sizeof(float));
+      xp[b] = in_b;
+      yp[b] = o;
+    }
+    gemv_acc_multi(I.w, xp.data(), yp.data(), B);
 
-    auto fc = [&](int fi, const float* in_vec, float* out_vec) {
-      gemv(fcs[fi], in_vec, out_vec);
-    };
-    auto relu_vec = [](float* v, int n) {
-      for (int i = 0; i < n; ++i) v[i] = std::max(v[i], 0.f);
-    };
-
-    std::vector<float>& x = xI;  // running activation (R wide)
     if (variant == FATCHORD) {
-      run_gru(0, nullptr, 0, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
-      run_gru(1, a2, A, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[1][i];
-      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
-      std::memcpy(fc_in.data() + R, a3, A * sizeof(float));
-      fc(0, fc_in.data(), fc_buf.data());
-      relu_vec(fc_buf.data(), fc_dims);
-      std::memcpy(fc_in.data(), fc_buf.data(), fc_dims * sizeof(float));
-      std::memcpy(fc_in.data() + fc_dims, a4, A * sizeof(float));
-      fc(1, fc_in.data(), fc_buf.data());
-      relu_vec(fc_buf.data(), fc_dims);
-      fc(2, fc_buf.data(), logits.data());
+      run_gru_multi(0, -1, 0, nullptr);
+      run_gru_multi(1, -1, A, aux_ptrs(t, 1));
+      for (int b = 0; b < B; ++b)
+        std::memcpy(fc_in.data() + (size_t)b * fci_s,
+                    xI.data() + (size_t)b * R, R * sizeof(float));
+      append_aux(fc_in.data(), fci_s, R, t, 2);
+      fc_multi(0, fc_in.data(), fci_s, fc_buf.data(), fcb_s);
+      relu_block(fc_buf.data(), fcb_s, fc_dims);
+      for (int b = 0; b < B; ++b)
+        std::memcpy(fc_in.data() + (size_t)b * fci_s,
+                    fc_buf.data() + (size_t)b * fcb_s,
+                    fc_dims * sizeof(float));
+      append_aux(fc_in.data(), fci_s, fc_dims, t, 3);
+      fc_multi(1, fc_in.data(), fci_s, fc_buf.data(), fcb_s);
+      relu_block(fc_buf.data(), fcb_s, fc_dims);
+      fc_multi(2, fc_buf.data(), fcb_s, logits.data(), (size_t)n_classes);
     } else if (variant == GENEING) {
-      run_gru(0, nullptr, 0, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
-      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
-      std::memcpy(fc_in.data() + R, a2, A * sizeof(float));
-      fc(0, fc_in.data(), fc_buf.data());
-      relu_vec(fc_buf.data(), fc_dims);
-      fc(1, fc_buf.data(), logits.data());
+      run_gru_multi(0, -1, 0, nullptr);
+      for (int b = 0; b < B; ++b)
+        std::memcpy(fc_in.data() + (size_t)b * fci_s,
+                    xI.data() + (size_t)b * R, R * sizeof(float));
+      append_aux(fc_in.data(), fci_s, R, t, 1);
+      fc_multi(0, fc_in.data(), fci_s, fc_buf.data(), fcb_s);
+      relu_block(fc_buf.data(), fcb_s, fc_dims);
+      fc_multi(1, fc_buf.data(), fcb_s, logits.data(), (size_t)n_classes);
     } else {  // RUNTIMERACER
-      run_gru(0, nullptr, 0, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[0][i];
-      run_gru(1, nullptr, 0, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[1][i];
-      run_gru(2, a2, A, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[2][i];
-      run_gru(3, nullptr, 0, x.data());
-      for (int i = 0; i < R; ++i) x[i] += hs[3][i];
-      std::memcpy(fc_in.data(), x.data(), R * sizeof(float));
-      std::memcpy(fc_in.data() + R, a3, A * sizeof(float));
-      fc(0, fc_in.data(), fc_buf.data());  // fc1: no relu
-      fc(1, fc_buf.data(), fc_in.data()); // fc2
-      relu_vec(fc_in.data(), fc_dims);
-      std::memcpy(fc_buf.data(), fc_in.data(), fc_dims * sizeof(float));
-      std::memcpy(fc_buf.data() + fc_dims, a4, A * sizeof(float));
-      fc(2, fc_buf.data(), fc_in.data());  // fc3: no relu
-      fc(3, fc_in.data(), fc_buf.data());  // fc4
-      relu_vec(fc_buf.data(), fc_dims);
-      fc(4, fc_buf.data(), logits.data());
+      run_gru_multi(0, -1, 0, nullptr);
+      run_gru_multi(1, -1, 0, nullptr);
+      run_gru_multi(2, -1, A, aux_ptrs(t, 1));
+      run_gru_multi(3, -1, 0, nullptr);
+      for (int b = 0; b < B; ++b)
+        std::memcpy(fc_in.data() + (size_t)b * fci_s,
+                    xI.data() + (size_t)b * R, R * sizeof(float));
+      append_aux(fc_in.data(), fci_s, R, t, 2);
+      fc_multi(0, fc_in.data(), fci_s, fc_buf.data(), fcb_s);  // fc1: no relu
+      fc_multi(1, fc_buf.data(), fcb_s, fc_in.data(), fci_s);  // fc2
+      relu_block(fc_in.data(), fci_s, fc_dims);
+      for (int b = 0; b < B; ++b)
+        std::memcpy(fc_buf.data() + (size_t)b * fcb_s,
+                    fc_in.data() + (size_t)b * fci_s,
+                    fc_dims * sizeof(float));
+      append_aux(fc_buf.data(), fcb_s, fc_dims, t, 3);
+      fc_multi(2, fc_buf.data(), fcb_s, fc_in.data(), fci_s);  // fc3: no relu
+      fc_multi(3, fc_in.data(), fci_s, fc_buf.data(), fcb_s);  // fc4
+      relu_block(fc_buf.data(), fcb_s, fc_dims);
+      fc_multi(4, fc_buf.data(), fcb_s, logits.data(), (size_t)n_classes);
     }
 
-    // ---- sampling ----
-    if (mode == MOL) {
-      sample = sample_mol(logits.data(), argmax_sampling);
-    } else if (mode == RAW && variant == GENEING) {
-      sample = sample_beta(logits.data(), argmax_sampling);
-    } else {
-      int label = sample_categorical(logits.data(), n_classes, argmax_sampling);
-      sample = 2.f * label / (n_classes - 1.f) - 1.f;
+    // ---- sampling (per chunk, sequential draws from the instance rng) ----
+    for (int b = 0; b < B; ++b) {
+      float* lg = logits.data() + (size_t)b * n_classes;
+      float s;
+      if (mode == MOL) {
+        s = sample_mol(lg, argmax_sampling);
+      } else if (mode == RAW && variant == GENEING) {
+        s = sample_beta(lg, argmax_sampling);
+      } else {
+        int label = sample_categorical(lg, n_classes, argmax_sampling);
+        s = 2.f * label / (n_classes - 1.f) - 1.f;
+      }
+      sample[b] = s;
+      wav[(size_t)b * T + t] = s;
     }
-    wav[t] = sample;
   }
   return wav;
 }
@@ -698,6 +881,25 @@ long rtvc_vocoder_mel_to_wav(void* m, const float* mel, int n_mels,
   long n = std::min<long>((long)wav.size(), out_capacity);
   std::memcpy(out, wav.data(), n * sizeof(float));
   return n;
+}
+
+// mels: n_batch contiguous (n_mels, n_frames) blocks (fold chunks).
+// Writes (n_batch, T) concatenated; returns samples PER CHUNK (T), or -1.
+long rtvc_vocoder_mel_to_wav_batch(void* m, const float* mels, int n_batch,
+                                   int n_mels, int n_frames, float* out,
+                                   long out_capacity, int argmax) {
+  auto* model = static_cast<rtvc::Model*>(m);
+  if (n_mels != model->feat_dims || n_batch < 1) {
+    fprintf(stderr,
+            "rtvc_vocoder_mel_to_wav_batch: bad args (n_mels=%d, B=%d)\n",
+            n_mels, n_batch);
+    return -1;
+  }
+  std::vector<float> wav =
+      model->generate_batch(mels, n_batch, n_frames, argmax != 0);
+  if ((long)wav.size() > out_capacity) return -1;
+  std::memcpy(out, wav.data(), wav.size() * sizeof(float));
+  return (long)(wav.size() / n_batch);
 }
 
 }  // extern "C"

@@ -75,6 +75,11 @@ struct Gru {
 void gemv_acc(const Mat& m, const float* x, float* y);
 // y = Wx + b
 void gemv(const Linear& lin, const float* x, float* y);
+// ys[b] += W xs[b] for b < B, traversing the weights ONCE (the batched
+// sample loop's kernel: the per-sample chain is latency-bound, so B
+// independent chains fill the FMA pipe and amortize weight loads)
+void gemv_acc_multi(const Mat& m, const float* const* xs, float* const* ys,
+                    int B);
 
 struct ResBlock {
   // 1x1 convs with folded BN: y = W2(relu(W1 x + b1)) + b2 + x
@@ -110,6 +115,16 @@ struct Model {
   // (the Python wrapper applies those, matching the JAX path).
   std::vector<float> generate(const float* mel, int n_frames,
                               bool argmax_sampling);
+
+  // Batched sample loop (round 4): mels = n_batch contiguous
+  // (n_mels, n_frames) blocks (the fold-with-overlap chunks); all chunks
+  // advance in LOCKSTEP so every weight matrix is traversed once per
+  // step for the whole batch — B independent recurrent chains fill the
+  // FMA pipe the single-chain loop leaves idle (the CPU analogue of the
+  // TPU fold batching). Returns (n_batch, T) concatenated; with
+  // n_batch=1 this is bit-identical to generate().
+  std::vector<float> generate_batch(const float* mels, int n_batch,
+                                    int n_frames, bool argmax_sampling);
 
   void set_seed(uint64_t seed) { rng_.seed(seed); }
 

@@ -408,3 +408,74 @@ class TestF16Weights:
         b = _native_generate(w16, mel, argmax=True)
         agree = float(np.mean(a == b))
         assert agree > 0.95, agree
+
+
+class TestBatchedDecode:
+    """In-instance lockstep batching (round 4): B fold chunks advance
+    together, each weight matrix traversed once per step for the batch."""
+
+    def _export(self, tmp_path):
+        d = _dims(VOC_RUNTIMERACER, "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        weights = tmp_path / "m.bin"
+        export_wavernn(variables, d, weights)
+        return d, weights
+
+    def test_identical_mels_stay_in_lockstep(self, tmp_path):
+        """A batch of B copies of one mel must emit B identical waveforms
+        — every chunk runs the same arithmetic in lockstep, so any
+        cross-chunk state bleed shows up immediately."""
+        from rtvc_tpu.native.libwavernn import _Instance, _load_lib
+
+        d, weights = self._export(tmp_path)
+        inst = _Instance(_load_lib(), weights)
+        mel = np.random.default_rng(5).uniform(
+            -1, 1, (d.feat_dims, 10)).astype(np.float32)
+        wavs = inst.mel_to_wav_batch(np.stack([mel, mel, mel]), argmax=True)
+        assert wavs.shape[0] == 3
+        np.testing.assert_array_equal(wavs[0], wavs[1])
+        np.testing.assert_array_equal(wavs[0], wavs[2])
+
+    def test_batched_matches_single_decodes(self, tmp_path):
+        """Distinct mels decoded as one batch ≈ their individual decodes
+        (greedy): the lockstep kernels reduce in a different FMA order, so
+        allow a rare last-ulp label flip but require near-total agreement."""
+        from rtvc_tpu.native.libwavernn import _Instance, _load_lib
+
+        d, weights = self._export(tmp_path)
+        inst = _Instance(_load_lib(), weights)
+        rng = np.random.default_rng(6)
+        mels = rng.uniform(-1, 1, (3, d.feat_dims, 10)).astype(np.float32)
+        batched = inst.mel_to_wav_batch(mels, argmax=True)
+        for b in range(3):
+            single = inst.mel_to_wav(mels[b], argmax=True)
+            assert single.shape == batched[b].shape
+            agree = float(np.mean(single == batched[b]))
+            assert agree > 0.999, (b, agree)
+
+    def test_vocoder_batch_mode_end_to_end(self, tmp_path):
+        """Vocoder(batch=3) folds, lockstep-decodes, and crossfades a long
+        mel; output shape/energy match the per-chunk default mode."""
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.native.libwavernn import Vocoder
+
+        d, weights = self._export(tmp_path)
+        mel = np.random.default_rng(7).uniform(
+            -1, 1, (d.feat_dims, 16)).astype(np.float32)
+
+        def make(batch):
+            v = Vocoder(weights, "runtimeracer-wavernn", verbose=False,
+                        batch=batch)
+            v.cfg = WaveRNNParams(
+                mode=d.mode, bits=10, mu_law=True,
+                gen_target=4 * d.hop_length, gen_overlap=2 * d.hop_length,
+            )
+            v.load(n_threads=1)
+            v.setRandomSeed(0)
+            return v
+
+        w_batched = make(3).vocode_mel(mel, normalize=False, argmax=True)
+        w_plain = make(1).vocode_mel(mel, normalize=False, argmax=True)
+        assert w_batched.shape == w_plain.shape == ((16 - 1) * d.hop_length,)
+        agree = float(np.mean(np.isclose(w_batched, w_plain, atol=1e-6)))
+        assert agree > 0.99, agree
