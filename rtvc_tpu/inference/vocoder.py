@@ -117,9 +117,12 @@ def _default_window(cfg):
     )
 
 
-def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bool = True):
+def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH,
+               verbose: bool = True, native_batch: int = 1):
     """Load vocoder weights; model type auto-detected from the checkpoint
-    (ref: vocoder/inference.py:11-53)."""
+    (ref: vocoder/inference.py:11-53). ``native_batch`` > 1 opts the C++
+    backend into lockstep chunk batching — real-time on a single core at
+    batch 4+ (BENCHMARKS.md round 4)."""
     global _model, _model_type, _cpp_model
 
     if voc_type == base.VOC_TYPE_PYTORCH:
@@ -145,7 +148,8 @@ def load_model(weights_fpath, voc_type: str = base.VOC_TYPE_PYTORCH, verbose: bo
     elif voc_type == base.VOC_TYPE_CPP:
         from rtvc_tpu.native import libwavernn
 
-        _cpp_model = libwavernn.Vocoder(weights_fpath, "runtimeracer-wavernn", verbose)
+        _cpp_model = libwavernn.Vocoder(weights_fpath, "runtimeracer-wavernn",
+                                        verbose, batch=native_batch)
         _cpp_model.load()
         _model_type = voc_type
         if verbose:
