@@ -209,7 +209,9 @@ class Vocoder:
             )
         self._lib = _load_lib()
         if n_threads is None:
-            n_threads = max(os.cpu_count() or 1, 1)
+            # lockstep batching runs on ONE instance; per-chunk mode fans
+            # out across the cores like the reference (inference.py:37-54)
+            n_threads = 1 if self.batch > 1 else max(os.cpu_count() or 1, 1)
         self._instances = [
             _Instance(self._lib, self.model_fpath) for _ in range(n_threads)
         ]
@@ -246,9 +248,12 @@ class Vocoder:
         # Chunk so all workers finish in one cycle
         # (ref sizing idea: inference.py:87-101)
         overlap_frames = max(self.cfg.gen_overlap // hop, 1)
+        # lockstep mode splits for the batch width; thread mode for the
+        # pool — either way gen_target stays the quality floor
+        split = self.batch if self.batch > 1 else max(len(self._instances), 1)
         target_frames = max(
             self.cfg.gen_target // hop,
-            math.ceil(n_frames / max(len(self._instances), 1)),
+            math.ceil(n_frames / split),
         )
         chunks = fold_mel_with_overlap(mel, target_frames, overlap_frames)
 

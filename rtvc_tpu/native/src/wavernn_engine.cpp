@@ -371,7 +371,47 @@ void gemv_acc_multi(const Mat& m, const float* const* xs, float* const* ys,
     }
     return;
   }
-  // uncommon kinds (f16, generic group): per-batch fallback
+  if (m.kind == GROUP_SPARSE && m.sparse.group == 4 && m.sparse.f16 &&
+      B <= kMaxB) {
+    // f16 × lockstep: one 64-bit load of 4 halfs per group, converted
+    // once, FMA'd against every chain's gather
+    const auto& s = m.sparse;
+    const uint16_t* vals = s.vals16.data();
+    const uint16_t* gcol = s.group_col.data();
+    for (int r = 0; r < s.rows; ++r) {
+      const int32_t p0 = s.row_ptr[r], p1 = s.row_ptr[r + 1];
+#if defined(__F16C__) && defined(__AVX2__)
+      __m128 acc[kMaxB];
+      for (int b = 0; b < B; ++b) acc[b] = _mm_setzero_ps();
+      for (int32_t p = p0; p < p1; ++p) {
+        const __m128 w = _mm_cvtph_ps(_mm_loadl_epi64(
+            reinterpret_cast<const __m128i*>(vals + (size_t)p * 4)));
+        const size_t off = (size_t)gcol[p] * 4;
+        for (int b = 0; b < B; ++b)
+          acc[b] = _mm_fmadd_ps(w, _mm_loadu_ps(xs[b] + off), acc[b]);
+      }
+      for (int b = 0; b < B; ++b) {
+        alignas(16) float l[4];
+        _mm_store_ps(l, acc[b]);
+        ys[b][r] += (l[0] + l[1]) + (l[2] + l[3]);
+      }
+#else
+      for (int32_t p = p0; p < p1; ++p) {
+        const uint16_t* w = vals + (size_t)p * 4;
+        float wf[4] = {half_to_float(w[0]), half_to_float(w[1]),
+                       half_to_float(w[2]), half_to_float(w[3])};
+        const size_t off = (size_t)gcol[p] * 4;
+        for (int b = 0; b < B; ++b) {
+          const float* xv = xs[b] + off;
+          ys[b][r] +=
+              wf[0] * xv[0] + wf[1] * xv[1] + wf[2] * xv[2] + wf[3] * xv[3];
+        }
+      }
+#endif
+    }
+    return;
+  }
+  // uncommon kinds (dense f16, generic group): per-batch fallback
   for (int b = 0; b < B; ++b) gemv_acc(m, xs[b], ys[b]);
 }
 
@@ -382,28 +422,6 @@ void gemv(const Linear& lin, const float* x, float* y) {
   else
     std::memset(y, 0, rows * sizeof(float));
   gemv_acc(lin.w, x, y);
-}
-
-// GRU step with torch semantics: r,z inside sigmoid; candidate uses
-// r ⊙ (W_hn h + b_hn) with the hidden bias inside the product.
-static void gru_step(const Gru& g, const float* xg /*3H: W_ih x + b_ih*/,
-                     std::vector<float>& scratch, float* h) {
-  const int H = g.hidden;
-  scratch.resize(3 * H);
-  if (!g.b_hh.empty())
-    std::memcpy(scratch.data(), g.b_hh.data(), 3 * H * sizeof(float));
-  else
-    std::memset(scratch.data(), 0, 3 * H * sizeof(float));
-  gemv_acc(g.w_hh, h, scratch.data());
-  const float* hr = scratch.data();
-  const float* hz = scratch.data() + H;
-  const float* hn = scratch.data() + 2 * H;
-  for (int i = 0; i < H; ++i) {
-    float r = sigmoidf(xg[i] + hr[i]);
-    float z = sigmoidf(xg[H + i] + hz[i]);
-    float n = fast_tanhf(xg[2 * H + i] + r * hn[i]);
-    h[i] = (1.f - z) * n + z * h[i];
-  }
 }
 
 bool Model::load(const std::string& path, std::string* err) {
@@ -680,12 +698,12 @@ std::vector<float> Model::generate_batch(const float* mels, int n_batch,
     gemv_acc_multi(L.w, xp.data(), yp.data(), B);
   };
 
-  // xg = W_ih · concat(xI, extra) + b_ih; hh = W_hh · h + b_hh; gates.
-  // extra_off: byte offset into the per-b aux frame (-1 = none).
-  auto run_gru_multi = [&](int gi, int extra_off, int extra_n,
+  // xg = W_ih · concat(xI, extra) + b_ih; hh = W_hh · h + b_hh; gates
+  // + the residual add into the running activation (every variant adds
+  // each GRU's output).
+  auto run_gru_multi = [&](int gi, int extra_n,
                            const float* const* extras) {
     const Gru& g = rnns[gi];
-    (void)extra_off;
     for (int b = 0; b < B; ++b) {
       float* in_b = fc_in.data() + (size_t)b * fci_s;
       std::memcpy(in_b, xI.data() + (size_t)b * R, R * sizeof(float));
@@ -768,8 +786,8 @@ std::vector<float> Model::generate_batch(const float* mels, int n_batch,
     gemv_acc_multi(I.w, xp.data(), yp.data(), B);
 
     if (variant == FATCHORD) {
-      run_gru_multi(0, -1, 0, nullptr);
-      run_gru_multi(1, -1, A, aux_ptrs(t, 1));
+      run_gru_multi(0, 0, nullptr);
+      run_gru_multi(1, A, aux_ptrs(t, 1));
       for (int b = 0; b < B; ++b)
         std::memcpy(fc_in.data() + (size_t)b * fci_s,
                     xI.data() + (size_t)b * R, R * sizeof(float));
@@ -785,7 +803,7 @@ std::vector<float> Model::generate_batch(const float* mels, int n_batch,
       relu_block(fc_buf.data(), fcb_s, fc_dims);
       fc_multi(2, fc_buf.data(), fcb_s, logits.data(), (size_t)n_classes);
     } else if (variant == GENEING) {
-      run_gru_multi(0, -1, 0, nullptr);
+      run_gru_multi(0, 0, nullptr);
       for (int b = 0; b < B; ++b)
         std::memcpy(fc_in.data() + (size_t)b * fci_s,
                     xI.data() + (size_t)b * R, R * sizeof(float));
@@ -794,10 +812,10 @@ std::vector<float> Model::generate_batch(const float* mels, int n_batch,
       relu_block(fc_buf.data(), fcb_s, fc_dims);
       fc_multi(1, fc_buf.data(), fcb_s, logits.data(), (size_t)n_classes);
     } else {  // RUNTIMERACER
-      run_gru_multi(0, -1, 0, nullptr);
-      run_gru_multi(1, -1, 0, nullptr);
-      run_gru_multi(2, -1, A, aux_ptrs(t, 1));
-      run_gru_multi(3, -1, 0, nullptr);
+      run_gru_multi(0, 0, nullptr);
+      run_gru_multi(1, 0, nullptr);
+      run_gru_multi(2, A, aux_ptrs(t, 1));
+      run_gru_multi(3, 0, nullptr);
       for (int b = 0; b < B; ++b)
         std::memcpy(fc_in.data() + (size_t)b * fci_s,
                     xI.data() + (size_t)b * R, R * sizeof(float));

@@ -453,29 +453,67 @@ class TestBatchedDecode:
             agree = float(np.mean(single == batched[b]))
             assert agree > 0.999, (b, agree)
 
-    def test_vocoder_batch_mode_end_to_end(self, tmp_path):
+    def test_vocoder_batch_mode_end_to_end(self, tmp_path, monkeypatch):
         """Vocoder(batch=3) folds, lockstep-decodes, and crossfades a long
-        mel; output shape/energy match the per-chunk default mode."""
+        mel; the batched entry point must ACTUALLY run (spy), and the
+        result must agree with the per-chunk default mode."""
         from rtvc_tpu.config.vocoder import WaveRNNParams
-        from rtvc_tpu.native.libwavernn import Vocoder
+        from rtvc_tpu.native.libwavernn import Vocoder, _Instance
 
         d, weights = self._export(tmp_path)
+        # 24 frames with target max(4, ceil(24/3)) = 8 and overlap 2
+        # → multiple equal chunks, so the lockstep branch engages
         mel = np.random.default_rng(7).uniform(
-            -1, 1, (d.feat_dims, 16)).astype(np.float32)
+            -1, 1, (d.feat_dims, 24)).astype(np.float32)
 
-        def make(batch):
+        calls = {"batch": 0}
+        orig = _Instance.mel_to_wav_batch
+
+        def spy(self, mels, argmax=False):
+            calls["batch"] += 1
+            return orig(self, mels, argmax=argmax)
+
+        monkeypatch.setattr(_Instance, "mel_to_wav_batch", spy)
+
+        def make(batch, n_threads=None):
             v = Vocoder(weights, "runtimeracer-wavernn", verbose=False,
                         batch=batch)
             v.cfg = WaveRNNParams(
                 mode=d.mode, bits=10, mu_law=True,
                 gen_target=4 * d.hop_length, gen_overlap=2 * d.hop_length,
             )
-            v.load(n_threads=1)
+            v.load(n_threads=n_threads)  # batch>1 defaults to ONE instance
             v.setRandomSeed(0)
             return v
 
-        w_batched = make(3).vocode_mel(mel, normalize=False, argmax=True)
-        w_plain = make(1).vocode_mel(mel, normalize=False, argmax=True)
-        assert w_batched.shape == w_plain.shape == ((16 - 1) * d.hop_length,)
+        vb = make(3)
+        assert len(vb._instances) == 1
+        w_batched = vb.vocode_mel(mel, normalize=False, argmax=True)
+        assert calls["batch"] >= 1, "lockstep path never engaged"
+        # same fold (3 chunks) decoded per-chunk on a 3-thread pool: the
+        # comparison isolates lockstep-vs-single decode, not chunking
+        w_plain = make(1, n_threads=3).vocode_mel(
+            mel, normalize=False, argmax=True
+        )
+        assert w_batched.shape == w_plain.shape == ((24 - 1) * d.hop_length,)
         agree = float(np.mean(np.isclose(w_batched, w_plain, atol=1e-6)))
         assert agree > 0.99, agree
+
+    def test_f16_lockstep_composes(self, tmp_path):
+        """f16 weights + lockstep batching go through the dedicated
+        f16 multi-kernel: B identical mels stay in lockstep and agree
+        with the single-chunk f16 decode."""
+        from rtvc_tpu.native.libwavernn import _Instance, _load_lib
+
+        d = _dims(VOC_RUNTIMERACER, "RAW")
+        variables = init_wavernn(jax.random.PRNGKey(0), d)
+        weights = tmp_path / "m16.bin"
+        export_wavernn(variables, d, weights, weight_dtype="f16")
+        inst = _Instance(_load_lib(), weights)
+        mel = np.random.default_rng(9).uniform(
+            -1, 1, (d.feat_dims, 10)).astype(np.float32)
+        wavs = inst.mel_to_wav_batch(np.stack([mel, mel]), argmax=True)
+        np.testing.assert_array_equal(wavs[0], wavs[1])
+        single = inst.mel_to_wav(mel, argmax=True)
+        agree = float(np.mean(single == wavs[0]))
+        assert agree > 0.999, agree
