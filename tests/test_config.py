@@ -76,3 +76,35 @@ def test_configs_are_hashable():
     hash(preprocessing)
     hash(wavernn_fatchord)
     assert dataclasses.is_dataclass(sp)
+
+
+class TestScanUnrollPolicy:
+    """Backend-aware unroll default (ops/scanning.py): TPU gets the
+    round-4 sweep optimum, everything else stays at 1 (a 4x scan body
+    only slows CPU compiles), env var wins over both."""
+
+    def test_env_override_wins(self, monkeypatch):
+        from rtvc_tpu.ops.scanning import scan_unroll
+
+        monkeypatch.setenv("RTVC_SCAN_UNROLL", "3")
+        assert scan_unroll() == 3
+
+    def test_cpu_default_is_one(self, monkeypatch):
+        from rtvc_tpu.ops.scanning import scan_unroll
+
+        monkeypatch.delenv("RTVC_SCAN_UNROLL", raising=False)
+        import jax
+
+        assert jax.default_backend() == "cpu"  # tests/conftest.py pins cpu
+        assert scan_unroll() == 1
+
+    def test_tpu_default_is_sweep_optimum(self, monkeypatch):
+        import rtvc_tpu.ops.scanning as scanning
+
+        monkeypatch.delenv("RTVC_SCAN_UNROLL", raising=False)
+        # scan_unroll reads jax.default_backend() directly; emulate TPU by
+        # patching jax within the module's import scope.
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert scanning.scan_unroll() == scanning._DEFAULT_UNROLL
