@@ -225,6 +225,32 @@ class TestPublicVocoderAPI:
         voc_api._cpp_model = None
         voc_api._model_type = None
 
+    def test_load_model_plumbs_native_batch(self, monkeypatch):
+        """load_model(native_batch=N) must hand N to the engine wrapper as
+        its lockstep batch (the public opt-in for single-core real-time)."""
+        from rtvc_tpu.inference import vocoder as voc_api
+        from rtvc_tpu.native import libwavernn
+
+        seen = {}
+
+        class FakeVocoder:
+            def __init__(self, path, model_type, verbose=True, batch=1,
+                         **kw):
+                seen.update(path=str(path), model_type=model_type,
+                            batch=batch)
+
+            def load(self):
+                seen["loaded"] = True
+
+        monkeypatch.setattr(libwavernn, "Vocoder", FakeVocoder)
+        voc_api.load_model("weights.bin", voc_type="libwavernn",
+                           verbose=False, native_batch=4)
+        assert seen == {"path": "weights.bin",
+                        "model_type": "runtimeracer-wavernn",
+                        "batch": 4, "loaded": True}
+        voc_api._cpp_model = None
+        voc_api._model_type = None
+
 
 class TestMulticoreFanOut:
     """The per-core fan-out is the reference's entire CPU deployment story
