@@ -182,12 +182,13 @@ class Vocoder:
 
     def __init__(self, model_fpath, model_type: str = "runtimeracer-wavernn",
                  verbose: bool = True, batch: int = 1):
-        """``batch`` > 1 decodes fold chunks in LOCKSTEP inside one
-        instance (ILP batching) instead of one-chunk-per-thread — the
-        single-core throughput mode (BENCHMARKS.md round 4). Lockstep
-        decoding is not bit-identical to per-chunk decoding (different
-        FMA reduction order), so the default keeps the reference's
-        fan-out contract (pool-size-invariant audio)."""
+        """``batch`` > 1 decodes fold chunks in LOCKSTEP, B chains per
+        instance (ILP batching, BENCHMARKS.md round 4), composed with the
+        per-core instance fan-out: sub-batches are laned across the pool,
+        so an M-core box runs M×B chains in flight. Lockstep decoding is
+        not bit-identical to per-chunk decoding (different FMA reduction
+        order), so the default keeps the reference's fan-out contract
+        (pool-size-invariant audio)."""
         self.model_fpath = Path(model_fpath)
         self.model_type = model_type
         self.verbose = verbose
@@ -209,9 +210,10 @@ class Vocoder:
             )
         self._lib = _load_lib()
         if n_threads is None:
-            # lockstep batching runs on ONE instance; per-chunk mode fans
-            # out across the cores like the reference (inference.py:37-54)
-            n_threads = 1 if self.batch > 1 else max(os.cpu_count() or 1, 1)
+            # per-core fan-out like the reference (inference.py:37-54);
+            # lockstep batching composes with it (B chains per instance,
+            # sub-batches laned across the pool)
+            n_threads = max(os.cpu_count() or 1, 1)
         self._instances = [
             _Instance(self._lib, self.model_fpath) for _ in range(n_threads)
         ]
@@ -248,9 +250,9 @@ class Vocoder:
         # Chunk so all workers finish in one cycle
         # (ref sizing idea: inference.py:87-101)
         overlap_frames = max(self.cfg.gen_overlap // hop, 1)
-        # lockstep mode splits for the batch width; thread mode for the
+        # lockstep mode fills batch width × pool; thread mode fills the
         # pool — either way gen_target stays the quality floor
-        split = self.batch if self.batch > 1 else max(len(self._instances), 1)
+        split = self.batch * max(len(self._instances), 1)
         target_frames = max(
             self.cfg.gen_target // hop,
             math.ceil(n_frames / split),
@@ -263,25 +265,42 @@ class Vocoder:
             return offset, inst.mel_to_wav(chunk, argmax=argmax)
 
         if self.batch > 1 and len(chunks) > 1:
-            # lockstep ILP batching on instance 0: group equal-length
-            # chunks (the fold makes all but the last equal), sub-batch
-            results = []
+            # lockstep ILP batching composed with the fan-out: group
+            # equal-length chunks (the fold makes all but the last equal),
+            # sub-batch to the lockstep width, and lane the sub-batches
+            # across the instance pool — M instances × B chains in flight,
+            # each lane serializing its own instance (no shared state).
             by_len = {}
             for off, chunk in chunks:
                 by_len.setdefault(chunk.shape[1], []).append((off, chunk))
-            inst = self._instances[0]
+            subs = []
             for group in by_len.values():
                 for i in range(0, len(group), self.batch):
-                    sub = group[i : i + self.batch]
+                    subs.append(group[i : i + self.batch])
+            n_lanes = min(max(len(self._instances), 1), len(subs))
+
+            def run_lane(k):
+                out = []
+                inst = self._instances[k]
+                for sub in subs[k::n_lanes]:
                     if len(sub) == 1:
-                        results.append(
+                        out.append(
                             (sub[0][0],
                              inst.mel_to_wav(sub[0][1], argmax=argmax)))
                         continue
                     wavs = inst.mel_to_wav_batch(
                         np.stack([c for _, c in sub]), argmax=argmax)
-                    results.extend(
+                    out.extend(
                         (off, wavs[j]) for j, (off, _) in enumerate(sub))
+                return out
+
+            if n_lanes == 1:
+                results = run_lane(0)
+            else:
+                with ThreadPoolExecutor(max_workers=n_lanes) as pool:
+                    results = [r for lane in pool.map(run_lane,
+                                                      range(n_lanes))
+                               for r in lane]
             results.sort(key=lambda r: r[0])
         elif len(chunks) == 1 or len(self._instances) == 1:
             results = [run((i, c)) for i, c in enumerate(chunks)]

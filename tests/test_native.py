@@ -508,11 +508,11 @@ class TestBatchedDecode:
                 mode=d.mode, bits=10, mu_law=True,
                 gen_target=4 * d.hop_length, gen_overlap=2 * d.hop_length,
             )
-            v.load(n_threads=n_threads)  # batch>1 defaults to ONE instance
+            v.load(n_threads=n_threads)
             v.setRandomSeed(0)
             return v
 
-        vb = make(3)
+        vb = make(3, n_threads=1)  # pin: chunk sizing scales with the pool
         assert len(vb._instances) == 1
         w_batched = vb.vocode_mel(mel, normalize=False, argmax=True)
         assert calls["batch"] >= 1, "lockstep path never engaged"
@@ -543,3 +543,61 @@ class TestBatchedDecode:
         single = inst.mel_to_wav(mel, argmax=True)
         agree = float(np.mean(single == wavs[0]))
         assert agree > 0.999, agree
+
+    def test_lockstep_composes_with_fanout(self, tmp_path, monkeypatch):
+        """Lockstep batching composed with the instance fan-out: batch=2
+        over a 3-instance pool lanes sub-batches across instances (M x B
+        chains). Oversubscribed on this 1-core box — the OS preempts lanes
+        mid-chunk, so any cross-instance shared state would corrupt the
+        argmax-deterministic output. Oracle: the identical Vocoder with
+        the thread pool replaced by a serial executor (same chunking,
+        same grouping, same laning — only the concurrency differs)."""
+        import rtvc_tpu.native.libwavernn as lw
+        from rtvc_tpu.config.vocoder import WaveRNNParams
+        from rtvc_tpu.native.libwavernn import Vocoder, _Instance
+
+        d, weights = self._export(tmp_path)
+        # gen_target 4 frames < ceil(40/6)=7 -> target 7, size 9, step 8:
+        # chunks 9,9,9,9,8 -> subs [2,2,1] over 3 lanes (2 true batches)
+        mel = np.random.default_rng(11).uniform(
+            -1, 1, (d.feat_dims, 40)).astype(np.float32)
+
+        used = set()
+        orig = _Instance.mel_to_wav_batch
+
+        def spy(self, mels, argmax=False):
+            used.add(id(self))
+            return orig(self, mels, argmax=argmax)
+
+        monkeypatch.setattr(_Instance, "mel_to_wav_batch", spy)
+
+        def make():
+            v = Vocoder(weights, "runtimeracer-wavernn", verbose=False,
+                        batch=2)
+            v.cfg = WaveRNNParams(
+                mode=d.mode, bits=10, mu_law=True,
+                gen_target=4 * d.hop_length, gen_overlap=1 * d.hop_length,
+            )
+            v.load(n_threads=3)
+            v.setRandomSeed(0)
+            return v
+
+        w_threaded = make().vocode_mel(mel, normalize=False, argmax=True)
+        assert len(used) >= 2, "sub-batches never laned across instances"
+
+        class SerialPool:
+            def __init__(self, max_workers=None):
+                pass
+
+            def __enter__(self):
+                return self
+
+            def __exit__(self, *a):
+                return False
+
+            def map(self, fn, it):
+                return [fn(x) for x in it]
+
+        monkeypatch.setattr(lw, "ThreadPoolExecutor", SerialPool)
+        w_serial = make().vocode_mel(mel, normalize=False, argmax=True)
+        np.testing.assert_array_equal(w_threaded, w_serial)
