@@ -105,6 +105,31 @@ def main():
         }), flush=True)
     del inst
 
+    # composed mode (round 4): M per-core instances × B lockstep chains
+    # through the public wrapper — the full deployment story, fold/unfold
+    # host work included. This box has 1 core, so the M axis shows ~the
+    # lockstep number; on an M-core deploy it multiplies.
+    voc = libwavernn.Vocoder(tmp / "sparse_pruned.bin",
+                             "runtimeracer-wavernn", verbose=False, batch=8)
+    voc.cfg = cfg
+    voc.load()  # per-core instance pool
+    voc.setRandomSeed(0)
+    long_mel = rng.uniform(-1, 1, (d.feat_dims, 400)).astype(np.float32)
+    voc.vocode_mel(long_mel, normalize=False)  # warm
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        w = voc.vocode_mel(long_mel, normalize=False)
+        times.append(time.perf_counter() - t0)
+    khz = len(w) / float(np.median(times)) / 1000.0
+    print(json.dumps({
+        "metric": "native_composed_b8",
+        "value": round(khz, 1), "unit": "kHz",
+        "instances": len(voc._instances),
+        "realtime_x": round(khz / 16.0, 2),
+    }), flush=True)
+    del voc
+
     speedup = results["sparse_pruned"]["khz"] / results["dense_pruned"]["khz"]
     shrink = (results["dense_pruned"]["bin_mb"]
               / results["sparse_pruned"]["bin_mb"])
