@@ -7,6 +7,8 @@ interactive REPL, ref: demo_cli.py:129-225).
 
 Endpoints (all reads/writes are audio bytes or JSON — no filesystem):
 
+  * ``GET  /``                  → browser toolbox (rtvc_tpu/webui.py —
+    the reference's Qt GUI workflow, served as one HTML page)
   * ``GET  /health``            → {"status": "ok", platform, models}
   * ``POST /embed``             body = WAV bytes → {"embed": [768 floats]}
   * ``POST /clone?text=...``    body = WAV prompt → WAV clone (batch path)
@@ -80,18 +82,23 @@ def _streaming_wav_header(sr: int) -> bytes:
 
 
 def create_server(host: str = "127.0.0.1", port: int = 0,
-                  synth=None, stream_kwargs=None):
+                  synth=None, stream_kwargs=None, ui: bool = True,
+                  samples_dir=None):
     """Build the ThreadingHTTPServer. Models must already be loaded into
     the ``rtvc_tpu.inference`` module singletons (encoder + vocoder) and
     ``synth`` must be a loaded Synthesizer. ``stream_kwargs`` are passed
-    through to ``stream_clone`` (chunk sizes etc.)."""
+    through to ``stream_clone`` (chunk sizes etc.). ``ui=True`` also mounts
+    the browser toolbox (``GET /`` + ``/api/*``, rtvc_tpu/webui.py)."""
     import jax
 
+    from rtvc_tpu import webui
     from rtvc_tpu.config import sp
     from rtvc_tpu.inference import encoder, vocoder
     from rtvc_tpu.inference import vocoder as voc_mod
 
     import threading
+
+    ui_state = webui.UIState(samples_dir) if ui else None
 
     sr = sp.sample_rate
     skw = dict(stream_kwargs or {})
@@ -149,6 +156,8 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                     "synthesizer": synth is not None,
                     "vocoder": vocoder.is_loaded(),
                 })
+            elif ui_state is not None and webui.handle_get(self, ui_state):
+                pass
             else:
                 self.send_error(404)
 
@@ -208,6 +217,9 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                         if len(piece.wav):
                             chunk_out(_pcm16(piece.wav))
                     self.wfile.write(b"0\r\n\r\n")
+                elif ui_state is not None and webui.handle_post(
+                        self, ui_state, model_lock, synth):
+                    pass
                 else:
                     self.send_error(404)
             except BrokenPipeError:
@@ -261,7 +273,7 @@ def main():
 
     server = create_server(args.host, args.port, synth=synth)
     print(f"Serving on http://{args.host}:{server.server_address[1]} "
-          f"(/health /embed /clone /stream)")
+          f"(browser toolbox at /, API: /health /embed /clone /stream)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
