@@ -67,6 +67,12 @@ if __name__ == "__main__":
         "tui", help="Interactive full-screen terminal toolbox (curses)."
     )
 
+    p = sub.add_parser(
+        "web", help="Browser toolbox (serve.py GET / — rtvc_tpu/webui.py)."
+    )
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8765)
+
     args = parser.parse_args()
     if args.cpu:
         import jax
@@ -106,3 +112,15 @@ if __name__ == "__main__":
         from rtvc_tpu.tui import TuiState, run_curses
 
         run_curses(TuiState(toolbox=box, datasets_root=args.datasets_root))
+    elif args.cmd == "web":
+        _load_models(args, box)
+        from rtvc_tpu.serve import create_server
+
+        server = create_server(args.host, args.port, synth=box.synthesizer,
+                               samples_dir=args.datasets_root)
+        print(f"Browser toolbox on "
+              f"http://{args.host}:{server.server_address[1]}/")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass

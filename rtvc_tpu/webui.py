@@ -44,13 +44,19 @@ class UIState:
                 Path(__file__).resolve().parents[1] / "samples"
             )
 
-    def sample_files(self):
-        if not Path(self.samples_dir).is_dir():
+    def sample_files(self, max_entries: int = 50):
+        """Audio files under ``samples_dir`` (recursive, capped — the
+        ref toolbox browser shows a bounded random subset too)."""
+        root = Path(self.samples_dir)
+        if not root.is_dir():
             return []
-        return sorted(
-            p for p in Path(self.samples_dir).iterdir()
-            if p.suffix.lower() in AUDIO_SUFFIXES
-        )
+        out = []
+        for p in sorted(root.rglob("*")):
+            if p.suffix.lower() in AUDIO_SUFFIXES:
+                out.append(p)
+                if len(out) >= max_entries:
+                    break
+        return out
 
 
 def _load_utterance(state: UIState, name: str, wav: np.ndarray):
@@ -80,8 +86,10 @@ def handle_get(handler, state: UIState) -> bool:
         handler.wfile.write(body)
         return True
     if path == "/api/samples":
+        root = Path(state.samples_dir)
         handler._json({
-            "samples": [p.name for p in state.sample_files()],
+            "samples": [str(p.relative_to(root))
+                        for p in state.sample_files()],
             "loaded": sorted(state.utterances),
         })
         return True
@@ -108,8 +116,10 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
         body = handler._read_body()
         with model_lock:
             if sample:
-                fpath = Path(state.samples_dir) / Path(sample).name
-                if not fpath.exists():
+                root = Path(state.samples_dir).resolve()
+                fpath = (root / sample).resolve()
+                # stay inside samples_dir (no ../ traversal)
+                if not (fpath.is_relative_to(root) and fpath.is_file()):
                     handler._json({"error": f"no sample {sample!r}"}, 404)
                     return True
                 name = fpath.stem

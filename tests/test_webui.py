@@ -121,6 +121,8 @@ def test_autotune_returns_best_seed(server):
 def test_error_paths(server):
     for url, code in [
         ("/api/load?sample=nope.mp3", 404),
+        ("/api/load?sample=../README.md", 404),   # traversal blocked
+        ("/api/load?sample=..%2F..%2Fetc%2Fpasswd", 404),
         ("/api/load", 400),                       # no sample, empty body
         ("/api/synthesize?text=hi", 400),         # no utterance
         ("/api/synthesize?utt=missing&text=hi", 400),
