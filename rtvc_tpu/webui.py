@@ -37,6 +37,7 @@ AUDIO_SUFFIXES = (".wav", ".mp3", ".flac")
 class UIState:
     samples_dir: Path = None  # type: ignore[assignment]
     utterances: Dict[str, dict] = field(default_factory=dict)
+    last_mel: np.ndarray = None  # most recent synthesized spectrogram
 
     def __post_init__(self):
         if self.samples_dir is None:
@@ -92,6 +93,39 @@ def handle_get(handler, state: UIState) -> bool:
                         for p in state.sample_files()],
             "loaded": sorted(state.utterances),
         })
+        return True
+    if path == "/api/mel":
+        # last synthesized spectrogram, downsampled for the page's canvas
+        # (mel drawing, ref: toolbox/ui.py draw_spec)
+        mel = state.last_mel
+        if mel is None:
+            handler._json({"error": "nothing synthesized yet"}, 404)
+            return True
+        m = np.asarray(mel, np.float32)
+        step = max(1, m.shape[1] // 512)
+        m = m[:, ::step]
+        handler._json({
+            "n_mels": int(m.shape[0]), "frames": int(m.shape[1]),
+            "lo": float(m.min()), "hi": float(m.max()),
+            "mel": [[round(float(v), 3) for v in row] for row in m],
+        })
+        return True
+    if path == "/api/projection":
+        # 2-D projection of loaded utterance embeddings (UMAP role,
+        # ref: toolbox/ui.py draw_umap_projections) via the in-repo t-SNE
+        if len(state.utterances) < 2:
+            handler._json({"points": [],
+                           "note": "load 2+ utterances to project"})
+            return True
+        from rtvc_tpu.utils.projection import project_2d
+
+        names = sorted(state.utterances)
+        pts = project_2d(np.stack(
+            [state.utterances[n]["embed"] for n in names]))
+        handler._json({"points": [
+            {"name": n, "x": float(x), "y": float(y)}
+            for n, (x, y) in zip(names, pts)
+        ]})
         return True
     return False
 
@@ -149,6 +183,7 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
         with model_lock:
             [mel] = synth.synthesize_spectrograms(
                 [text], [utt["embed"]], seed=seed)
+            state.last_mel = np.asarray(mel)
             vocoder.set_seed(seed)
             t0 = time.perf_counter()
             wav = vocoder.infer_waveform(mel)
@@ -236,8 +271,10 @@ PAGE = """<!doctype html>
   <h2>Utterances</h2>
   <div class="row"><select id="samples"></select><button onclick="loadSample()">Load</button></div>
   <div class="row"><input type="file" id="file" accept="audio/wav"><button onclick="uploadFile()">Upload</button></div>
-  <div class="row"><button id="rec" onclick="toggleRec()">● Record</button></div>
+  <div class="row"><button id="rec" onclick="toggleRec()">● Record</button>
+   <button onclick="projection()">Project</button></div>
   <div id="utts"></div>
+  <canvas id="proj" width="260" height="200" style="width:260px;height:200px;margin-top:8px"></canvas>
  </section>
  <section>
   <h2>Clone</h2>
@@ -250,6 +287,7 @@ PAGE = """<!doctype html>
    <button id="tune" onclick="autotune()">Autotune</button></div>
   <div id="status"></div>
   <audio id="player" controls></audio>
+  <canvas id="mel" width="512" height="80" style="width:100%;height:120px;margin-top:8px"></canvas>
  </section>
 </main>
 <script>
@@ -300,7 +338,34 @@ async function synthesize(){
   if(!current)return status('load an utterance first');
   const u=`/api/synthesize?utt=${encodeURIComponent(current)}&seed=${$('seed').value}`+
           `&text=${encodeURIComponent($('text').value)}`;
-  const r=await api(u,{method:'POST'},'synthesizing'); if(r)await playFrom(r);
+  const r=await api(u,{method:'POST'},'synthesizing');
+  if(r){await playFrom(r); drawMel()}
+}
+async function drawMel(){
+  const r=await fetch('/api/mel'); if(!r.ok)return;
+  const m=await r.json(), c=$('mel'); c.width=m.frames; c.height=m.n_mels;
+  const ctx=c.getContext('2d'), img=ctx.createImageData(m.frames,m.n_mels);
+  const span=(m.hi-m.lo)||1;
+  for(let y=0;y<m.n_mels;y++)for(let x=0;x<m.frames;x++){
+    const t=(m.mel[y][x]-m.lo)/span, o=((m.n_mels-1-y)*m.frames+x)*4;
+    img.data[o]=255*Math.min(1,2*t); img.data[o+1]=255*t*t;
+    img.data[o+2]=90+120*(1-t); img.data[o+3]=255;}
+  ctx.putImageData(img,0,0);
+}
+async function projection(){
+  const r=await (await fetch('/api/projection')).json();
+  const c=$('proj'), ctx=c.getContext('2d');
+  ctx.clearRect(0,0,c.width,c.height);
+  if(!r.points.length)return status(r.note||'nothing to project');
+  const xs=r.points.map(p=>p.x), ys=r.points.map(p=>p.y);
+  const sx=(Math.max(...xs)-Math.min(...xs))||1, sy=(Math.max(...ys)-Math.min(...ys))||1;
+  const nx=v=>14+(v-Math.min(...xs))/sx*(c.width-90);
+  const ny=v=>12+(v-Math.min(...ys))/sy*(c.height-24);
+  ctx.font='10px sans-serif';
+  r.points.forEach((p,i)=>{ctx.fillStyle=`hsl(${i*67%360} 70% 62%)`;
+    ctx.beginPath();ctx.arc(nx(p.x),ny(p.y),4,0,7);ctx.fill();
+    ctx.fillText(p.name,nx(p.x)+6,ny(p.y)+3);});
+  status('projection of '+r.points.length+' utterances');
 }
 async function autotune(){
   if(!current)return status('load an utterance first');

@@ -105,6 +105,29 @@ def test_load_upload_synthesize_roundtrip(server):
         assert w.getnframes() > 0
 
 
+def test_mel_and_projection_displays(server):
+    """The Qt toolbox's two drawings (mel spec + utterance projection,
+    ref: toolbox/ui.py draw_spec / draw_umap_projections) have JSON
+    endpoints the page renders from."""
+    _post(server + "/api/load?name=viz_a", _prompt_wav_bytes(freq=250)).read()
+    _post(server + "/api/load?name=viz_b", _prompt_wav_bytes(freq=400)).read()
+    _post(server + "/api/synthesize?utt=viz_a&seed=0&text=draw+me").read()
+
+    with urllib.request.urlopen(server + "/api/mel", timeout=60) as r:
+        m = json.loads(r.read())
+    assert m["n_mels"] == 80 and m["frames"] > 0
+    assert len(m["mel"]) == 80 and len(m["mel"][0]) == m["frames"]
+    assert m["hi"] >= m["lo"]
+
+    with urllib.request.urlopen(server + "/api/projection",
+                                timeout=300) as r:
+        out = json.loads(r.read())
+    names = {p["name"] for p in out["points"]}
+    assert {"viz_a", "viz_b"} <= names
+    for p in out["points"]:
+        assert np.isfinite([p["x"], p["y"]]).all()
+
+
 def test_autotune_returns_best_seed(server):
     _post(server + "/api/load?name=tune", _prompt_wav_bytes(freq=330)).read()
     with _post(server
