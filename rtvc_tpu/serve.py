@@ -156,7 +156,9 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                     "synthesizer": synth is not None,
                     "vocoder": vocoder.is_loaded(),
                 })
-            elif ui_state is not None and webui.handle_get(self, ui_state):
+            elif ui_state is not None and webui.handle_get(
+                    self, ui_state, model_lock=model_lock, synth=synth,
+                    stream_kwargs=skw):
                 pass
             else:
                 self.send_error(404)

@@ -75,7 +75,8 @@ def _load_utterance(state: UIState, name: str, wav: np.ndarray):
     }
 
 
-def handle_get(handler, state: UIState) -> bool:
+def handle_get(handler, state: UIState, model_lock=None, synth=None,
+               stream_kwargs=None) -> bool:
     """Serve UI GET routes; returns False if the path is not ours."""
     path = urlparse(handler.path).path
     if path in ("/", "/index.html"):
@@ -109,6 +110,53 @@ def handle_get(handler, state: UIState) -> bool:
             "lo": float(m.min()), "hi": float(m.max()),
             "mel": [[round(float(v), 3) for v in row] for row in m],
         })
+        return True
+    if path == "/api/stream":
+        # GET variant of serve.py's POST /stream using a stored utterance:
+        # a plain <audio src> GET progressively plays the chunked WAV, so
+        # the page hears first audio at the TTFA budget, not at the end.
+        from rtvc_tpu import serve as _serve
+        from rtvc_tpu.config import sp
+        from rtvc_tpu.inference import vocoder as voc_mod
+        from rtvc_tpu.inference.streaming import stream_clone
+
+        q = parse_qs(urlparse(handler.path).query)
+        text = (q.get("text") or [""])[0]
+        utt = state.utterances.get((q.get("utt") or [""])[0])
+        if not text or utt is None or synth is None:
+            handler._json({"error": "need ?text= and a loaded ?utt="}, 400)
+            return True
+        handler.send_response(200)
+        handler.send_header("Content-Type", "audio/wav")
+        handler.send_header("Transfer-Encoding", "chunked")
+        handler.end_headers()
+
+        def chunk_out(data: bytes):
+            handler.wfile.write(b"%x\r\n" % len(data))
+            handler.wfile.write(data)
+            handler.wfile.write(b"\r\n")
+
+        try:
+            chunk_out(_serve._streaming_wav_header(sp.sample_rate))
+            m = voc_mod._model
+            gen = stream_clone(synth, m.variables, m.dims, text,
+                               utt["embed"], **dict(stream_kwargs or {}))
+            while True:
+                # same lock discipline as POST /stream: device work under
+                # the lock, client socket writes outside it
+                with model_lock:
+                    piece = next(gen, None)
+                if piece is None:
+                    break
+                if len(piece.wav):
+                    chunk_out(_serve._pcm16(piece.wav))
+            handler.wfile.write(b"0\r\n\r\n")
+        except BrokenPipeError:
+            pass
+        except Exception:
+            # headers are out — a second status line would corrupt the
+            # chunked framing; drop the connection instead
+            handler.close_connection = True
         return True
     if path == "/api/projection":
         # 2-D projection of loaded utterance embeddings (UMAP role,
@@ -283,6 +331,7 @@ PAGE = """<!doctype html>
   <textarea id="text">Welcome to the toolbox! Type a sentence here, then click synthesize.</textarea>
   <div class="row"><label>seed</label><input id="seed" type="number" value="0" style="width:90px">
    <button id="synth" onclick="synthesize()">Synthesize + vocode</button>
+   <button onclick="streamPlay()">Stream</button>
    <label>seeds</label><input id="nseeds" type="number" value="5" style="width:70px">
    <button id="tune" onclick="autotune()">Autotune</button></div>
   <div id="status"></div>
@@ -340,6 +389,12 @@ async function synthesize(){
           `&text=${encodeURIComponent($('text').value)}`;
   const r=await api(u,{method:'POST'},'synthesizing');
   if(r){await playFrom(r); drawMel()}
+}
+function streamPlay(){
+  if(!current)return status('load an utterance first');
+  $('player').src=`/api/stream?utt=${encodeURIComponent(current)}`+
+                  `&text=${encodeURIComponent($('text').value)}`;
+  $('player').play(); status('streaming (first audio at the TTFA budget)');
 }
 async function drawMel(){
   const r=await fetch('/api/mel'); if(!r.ok)return;

@@ -43,7 +43,12 @@ def server():
     voc_inf.load_bundle(factories.init_voc_model(
         factories.MODEL_TYPE_RUNTIMERACER, seed=0, override_hp=voc_cfg
     ))
-    srv = create_server(port=0, synth=synth)  # ui=True default
+    srv = create_server(
+        port=0, synth=synth,  # ui=True default
+        stream_kwargs=dict(chunk_frames=8, post_ctx=8, voc_ctx=4,
+                           voc_target=300, voc_overlap=100,
+                           use_pallas=False, min_frames=20),
+    )
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
     yield f"http://127.0.0.1:{srv.server_address[1]}"
@@ -139,6 +144,27 @@ def test_autotune_returns_best_seed(server):
     assert best in (0, 1)
     assert -1.0 <= sim <= 1.0
     assert body[:4] == b"RIFF"
+
+
+def test_stream_get_is_progressive_wav(server):
+    """GET /api/stream plays from a plain <audio src> URL — chunked WAV
+    with the stored utterance's embedding."""
+    _post(server + "/api/load?name=live", _prompt_wav_bytes(freq=260)).read()
+    with urllib.request.urlopen(
+            server + "/api/stream?utt=live&text=streaming+from+the+page",
+            timeout=300) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        body = r.read()  # urllib de-chunks transparently
+    assert body[:4] == b"RIFF" and body[8:12] == b"WAVE"
+    pcm = np.frombuffer(body[44:], "<i2")
+    assert len(pcm) > 400
+    # missing utt → JSON 400
+    try:
+        urllib.request.urlopen(server + "/api/stream?utt=ghost&text=x",
+                               timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def test_error_paths(server):
