@@ -81,6 +81,42 @@ def _streaming_wav_header(sr: int) -> bytes:
     return hdr.getvalue()
 
 
+def stream_chunked_wav(handler, gen, model_lock, sr: int) -> None:
+    """Write a chunked-transfer WAV response from a wav-chunk generator
+    (shared by POST /stream and the web toolbox's GET /api/stream).
+
+    Sends the headers itself. Device work (advancing the generator) runs
+    under ``model_lock`` per chunk; the chunked writes to the client happen
+    OUTSIDE the lock so a slow consumer never starves other requests.
+    Post-header failures drop the connection — a second status line would
+    corrupt the chunked framing, so the client just sees a truncated
+    stream."""
+    handler.send_response(200)
+    handler.send_header("Content-Type", "audio/wav")
+    handler.send_header("Transfer-Encoding", "chunked")
+    handler.end_headers()
+
+    def chunk_out(data: bytes):
+        handler.wfile.write(b"%x\r\n" % len(data))
+        handler.wfile.write(data)
+        handler.wfile.write(b"\r\n")
+
+    try:
+        chunk_out(_streaming_wav_header(sr))
+        while True:
+            with model_lock:
+                piece = next(gen, None)
+            if piece is None:
+                break
+            if len(piece.wav):
+                chunk_out(_pcm16(piece.wav))
+        handler.wfile.write(b"0\r\n\r\n")
+    except BrokenPipeError:
+        pass
+    except Exception:
+        handler.close_connection = True
+
+
 def create_server(host: str = "127.0.0.1", port: int = 0,
                   synth=None, stream_kwargs=None, ui: bool = True,
                   samples_dir=None):
@@ -156,10 +192,21 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                     "synthesizer": synth is not None,
                     "vocoder": vocoder.is_loaded(),
                 })
-            elif ui_state is not None and webui.handle_get(
-                    self, ui_state, model_lock=model_lock, synth=synth,
-                    stream_kwargs=skw):
-                pass
+            elif ui_state is not None:
+                # pre-header failures surface as JSON; the streaming route
+                # handles its own post-header errors internally
+                try:
+                    handled = webui.handle_get(
+                        self, ui_state, model_lock=model_lock, synth=synth,
+                        stream_kwargs=skw)
+                except Exception as e:
+                    try:
+                        self._json({"error": repr(e)[:200]}, 500)
+                    except Exception:
+                        pass
+                    return
+                if not handled:
+                    self.send_error(404)
             else:
                 self.send_error(404)
 
@@ -187,38 +234,21 @@ def create_server(host: str = "127.0.0.1", port: int = 0,
                     text = (q.get("text") or [""])[0]
                     if not text:
                         return self._json({"error": "missing ?text="}, 400)
+                    m = voc_mod._model
+                    if m is None:
+                        return self._json(
+                            {"error": "streaming needs the JAX vocoder "
+                                      "backend loaded"}, 400)
                     from rtvc_tpu.inference.streaming import stream_clone
 
                     body = self._read_body()
                     with model_lock:
                         emb = self._embed_from_wav(body)
-                    self.send_response(200)
-                    self.send_header("Content-Type", "audio/wav")
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
-                    streaming_started = True
-
-                    def chunk_out(data: bytes):
-                        self.wfile.write(b"%x\r\n" % len(data))
-                        self.wfile.write(data)
-                        self.wfile.write(b"\r\n")
-
-                    chunk_out(_streaming_wav_header(sr))
-                    m = voc_mod._model
                     gen = stream_clone(
                         synth, m.variables, m.dims, text, emb, **skw
                     )
-                    while True:
-                        # lock held per chunk (device work only); the
-                        # chunked write to the client happens unlocked so
-                        # a slow consumer never starves other requests
-                        with model_lock:
-                            piece = next(gen, None)
-                        if piece is None:
-                            break
-                        if len(piece.wav):
-                            chunk_out(_pcm16(piece.wav))
-                    self.wfile.write(b"0\r\n\r\n")
+                    streaming_started = True
+                    stream_chunked_wav(self, gen, model_lock, sr)
                 elif ui_state is not None and webui.handle_post(
                         self, ui_state, model_lock, synth):
                     pass

@@ -32,6 +32,44 @@ VOC_BACKEND_JAX = "pytorch"  # compat name for the reference's toggle
 VOC_BACKEND_NATIVE = "libwavernn"
 
 
+def vocode_with_rtf(spec: np.ndarray,
+                    seed: Optional[int] = None) -> Tuple[np.ndarray, float]:
+    """Mel → waveform; returns (wav, real-time factor)
+    (RTF instrument, ref: toolbox/toolbox.py:293-298). Shared by the
+    Toolbox, the TUI, and the web UI."""
+    if seed is not None:
+        vocoder_inf.set_seed(seed)
+    t0 = time.perf_counter()
+    wav = vocoder_inf.infer_waveform(spec)
+    dt = time.perf_counter() - t0
+    rtf = (len(wav) / sp.sample_rate) / max(dt, 1e-9)
+    return wav, rtf
+
+
+def autotune_search(synth, embed: np.ndarray, text: str, n_seeds: int = 10,
+                    start_seed: int = 0, verbose: bool = True):
+    """Seed search minimizing the embedding distance between the reference
+    voice and the generated audio (ref: toolbox/toolbox.py:413-473).
+    Returns (best_seed, best_similarity, best_wav, best_mel); best_wav is
+    None when no seed produced voiced audio."""
+    best = (-1, -np.inf, None, None)
+    for seed in range(start_seed, start_seed + n_seeds):
+        [spec] = synth.synthesize_spectrograms([text], [embed], seed=seed)
+        wav, _ = vocode_with_rtf(spec, seed=seed)
+        processed = encoder_inf.preprocess_wav(
+            np.pad(np.asarray(wav, np.float32), (0, sp.sample_rate))
+        )
+        if len(processed) == 0:
+            continue
+        gen_embed = encoder_inf.embed_utterance(processed)
+        sim = float(np.dot(gen_embed, embed))
+        if verbose:
+            print("  seed %d → voice similarity %.4f" % (seed, sim))
+        if sim > best[1]:
+            best = (seed, sim, wav, spec)
+    return best
+
+
 @dataclass
 class Utterance:
     name: str
@@ -136,13 +174,7 @@ class Toolbox:
     ) -> Tuple[np.ndarray, float]:
         """Mel → waveform; returns (wav, real-time factor)
         (RTF instrument, ref: toolbox/toolbox.py:293-298)."""
-        if seed is not None:
-            vocoder_inf.set_seed(seed)
-        t0 = time.perf_counter()
-        wav = vocoder_inf.infer_waveform(spec)
-        dt = time.perf_counter() - t0
-        rtf = (len(wav) / sp.sample_rate) / max(dt, 1e-9)
-        return wav, rtf
+        return vocode_with_rtf(spec, seed=seed)
 
     def save_audio(self, wav: np.ndarray, name: str) -> Path:
         out = Path(self.out_dir) / f"{name}.wav"
@@ -161,18 +193,9 @@ class Toolbox:
         """Search generation seeds for the one whose cloned audio embeds
         closest to the reference voice. Returns (best_seed, best_similarity,
         best_wav)."""
-        best = (-1, -np.inf, None)
-        for seed in range(start_seed, start_seed + n_seeds):
-            spec = self.synthesize(text, utt, seed=seed)
-            wav, _ = self.vocode(spec, seed=seed)
-            processed = encoder_inf.preprocess_wav(
-                np.pad(wav, (0, sp.sample_rate)).astype(np.float32)
-            )
-            if len(processed) == 0:
-                continue
-            gen_embed = encoder_inf.embed_utterance(processed)
-            sim = float(np.dot(gen_embed, utt.embed))
-            print("  seed %d → voice similarity %.4f" % (seed, sim))
-            if sim > best[1]:
-                best = (seed, sim, wav)
-        return best
+        assert self.synthesizer is not None, "load a synthesizer first"
+        seed, sim, wav, _ = autotune_search(
+            self.synthesizer, utt.embed, text, n_seeds=n_seeds,
+            start_seed=start_seed,
+        )
+        return seed, sim, wav

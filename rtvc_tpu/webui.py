@@ -92,7 +92,9 @@ def handle_get(handler, state: UIState, model_lock=None, synth=None,
         handler._json({
             "samples": [str(p.relative_to(root))
                         for p in state.sample_files()],
-            "loaded": sorted(state.utterances),
+            # list() snapshots atomically — /api/load may insert
+            # concurrently from another connection
+            "loaded": sorted(list(state.utterances)),
         })
         return True
     if path == "/api/mel":
@@ -126,48 +128,25 @@ def handle_get(handler, state: UIState, model_lock=None, synth=None,
         if not text or utt is None or synth is None:
             handler._json({"error": "need ?text= and a loaded ?utt="}, 400)
             return True
-        handler.send_response(200)
-        handler.send_header("Content-Type", "audio/wav")
-        handler.send_header("Transfer-Encoding", "chunked")
-        handler.end_headers()
-
-        def chunk_out(data: bytes):
-            handler.wfile.write(b"%x\r\n" % len(data))
-            handler.wfile.write(data)
-            handler.wfile.write(b"\r\n")
-
-        try:
-            chunk_out(_serve._streaming_wav_header(sp.sample_rate))
-            m = voc_mod._model
-            gen = stream_clone(synth, m.variables, m.dims, text,
-                               utt["embed"], **dict(stream_kwargs or {}))
-            while True:
-                # same lock discipline as POST /stream: device work under
-                # the lock, client socket writes outside it
-                with model_lock:
-                    piece = next(gen, None)
-                if piece is None:
-                    break
-                if len(piece.wav):
-                    chunk_out(_serve._pcm16(piece.wav))
-            handler.wfile.write(b"0\r\n\r\n")
-        except BrokenPipeError:
-            pass
-        except Exception:
-            # headers are out — a second status line would corrupt the
-            # chunked framing; drop the connection instead
-            handler.close_connection = True
+        m = voc_mod._model
+        if m is None:
+            handler._json({"error": "streaming needs the JAX vocoder "
+                                    "backend loaded"}, 400)
+            return True
+        gen = stream_clone(synth, m.variables, m.dims, text,
+                           utt["embed"], **dict(stream_kwargs or {}))
+        _serve.stream_chunked_wav(handler, gen, model_lock, sp.sample_rate)
         return True
     if path == "/api/projection":
         # 2-D projection of loaded utterance embeddings (UMAP role,
         # ref: toolbox/ui.py draw_umap_projections) via the in-repo t-SNE
-        if len(state.utterances) < 2:
+        names = sorted(list(state.utterances))  # atomic snapshot
+        if len(names) < 2:
             handler._json({"points": [],
                            "note": "load 2+ utterances to project"})
             return True
         from rtvc_tpu.utils.projection import project_2d
 
-        names = sorted(state.utterances)
         pts = project_2d(np.stack(
             [state.utterances[n]["embed"] for n in names]))
         handler._json({"points": [
@@ -185,7 +164,7 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
     endpoints — a slow client must not wedge the model)."""
     from rtvc_tpu import serve as _serve
     from rtvc_tpu.config import sp
-    from rtvc_tpu.inference import encoder, vocoder
+    from rtvc_tpu.inference import encoder
 
     url = urlparse(handler.path)
     q = parse_qs(url.query)
@@ -194,34 +173,40 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
         return (q.get(key) or [default])[0]
 
     if url.path == "/api/load":
+        # decode + VAD are host-side DSP and error responses are socket
+        # writes — both stay OUTSIDE the lock; only the embedding (device
+        # work + shared-state insert) runs under it
         sample = arg("sample")
         body = handler._read_body()
-        with model_lock:
-            if sample:
-                root = Path(state.samples_dir).resolve()
-                fpath = (root / sample).resolve()
-                # stay inside samples_dir (no ../ traversal)
-                if not (fpath.is_relative_to(root) and fpath.is_file()):
-                    handler._json({"error": f"no sample {sample!r}"}, 404)
-                    return True
-                name = fpath.stem
-                wav = encoder.preprocess_wav(fpath)
-            else:
-                if not body:
-                    handler._json(
-                        {"error": "need ?sample= or a WAV body"}, 400)
-                    return True
-                name = arg("name", "uploaded")
-                raw, in_sr = _serve._parse_wav(body)
-                wav = encoder.preprocess_wav(raw, source_sr=in_sr)
-            if len(wav) == 0:
-                handler._json({"error": "no speech after VAD trim"}, 400)
+        if sample:
+            root = Path(state.samples_dir).resolve()
+            fpath = (root / sample).resolve()
+            # stay inside samples_dir (no ../ traversal)
+            if not (fpath.is_relative_to(root) and fpath.is_file()):
+                handler._json({"error": f"no sample {sample!r}"}, 404)
                 return True
+            name = fpath.stem
+            wav = encoder.preprocess_wav(fpath)
+        else:
+            if not body:
+                handler._json(
+                    {"error": "need ?sample= or a WAV body"}, 400)
+                return True
+            name = arg("name", "uploaded")
+            raw, in_sr = _serve._parse_wav(body)
+            wav = encoder.preprocess_wav(raw, source_sr=in_sr)
+        if len(wav) == 0:
+            handler._json({"error": "no speech after VAD trim"}, 400)
+            return True
+        with model_lock:
             out = _load_utterance(state, name, wav)
         handler._json(out)
         return True
 
     if url.path == "/api/synthesize":
+        from rtvc_tpu import toolbox as tb
+
+        handler._read_body()  # drain: keep-alive framing stays in sync
         text, utt_name = arg("text"), arg("utt")
         seed = int(arg("seed", "0"))
         utt = state.utterances.get(utt_name)
@@ -232,11 +217,7 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
             [mel] = synth.synthesize_spectrograms(
                 [text], [utt["embed"]], seed=seed)
             state.last_mel = np.asarray(mel)
-            vocoder.set_seed(seed)
-            t0 = time.perf_counter()
-            wav = vocoder.infer_waveform(mel)
-            dt = time.perf_counter() - t0
-        rtf = (len(wav) / sp.sample_rate) / max(dt, 1e-9)
+            wav, rtf = tb.vocode_with_rtf(mel, seed=seed)
         body = _serve._wav_bytes(wav, sp.sample_rate)
         handler.send_response(200)
         handler.send_header("Content-Type", "audio/wav")
@@ -249,6 +230,9 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
         return True
 
     if url.path == "/api/autotune":
+        from rtvc_tpu import toolbox as tb
+
+        handler._read_body()  # drain: keep-alive framing stays in sync
         text, utt_name = arg("text"), arg("utt")
         n_seeds = max(1, min(int(arg("n_seeds", "5")), 50))
         start = int(arg("start_seed", "0"))
@@ -256,33 +240,24 @@ def handle_post(handler, state: UIState, model_lock, synth) -> bool:
         if not text or utt is None:
             handler._json({"error": "need ?text= and a loaded ?utt="}, 400)
             return True
-        # seed search minimizing embed distance (ref: toolbox:413-473)
-        best = (-1, -np.inf, None)
+        # seed search minimizing embed distance — the same helper the CLI
+        # and TUI use (ref: toolbox/toolbox.py:413-473)
         with model_lock:
-            for seed in range(start, start + n_seeds):
-                [mel] = synth.synthesize_spectrograms(
-                    [text], [utt["embed"]], seed=seed)
-                vocoder.set_seed(seed)
-                wav = vocoder.infer_waveform(mel)
-                processed = encoder.preprocess_wav(
-                    np.pad(np.asarray(wav, np.float32),
-                           (0, sp.sample_rate)))
-                if len(processed) == 0:
-                    continue
-                sim = float(np.dot(encoder.embed_utterance(processed),
-                                   utt["embed"]))
-                if sim > best[1]:
-                    best = (seed, sim, wav)
-        if best[2] is None:
+            best_seed, sim, wav, mel = tb.autotune_search(
+                synth, utt["embed"], text, n_seeds=n_seeds,
+                start_seed=start, verbose=False)
+            if mel is not None:
+                state.last_mel = np.asarray(mel)
+        if wav is None:
             handler._json({"error": "autotune produced no voiced audio"},
                           500)
             return True
-        body = _serve._wav_bytes(best[2], sp.sample_rate)
+        body = _serve._wav_bytes(wav, sp.sample_rate)
         handler.send_response(200)
         handler.send_header("Content-Type", "audio/wav")
         handler.send_header("Content-Length", str(len(body)))
-        handler.send_header("X-Best-Seed", str(best[0]))
-        handler.send_header("X-Similarity", f"{best[1]:.4f}")
+        handler.send_header("X-Best-Seed", str(best_seed))
+        handler.send_header("X-Similarity", f"{sim:.4f}")
         handler.end_headers()
         handler.wfile.write(body)
         return True
@@ -345,9 +320,15 @@ const $=id=>document.getElementById(id);
 function status(m){$('status').textContent=m}
 async function refresh(){
   const r=await (await fetch('/api/samples')).json();
-  $('samples').innerHTML=r.samples.map(s=>`<option>${s}</option>`).join('');
-  $('utts').innerHTML=r.loaded.map(n=>
-    `<div class="utt${n===current?' sel':''}" onclick="select('${n}')">${n}</div>`).join('');
+  // DOM nodes, not innerHTML: names come from the filesystem / uploads
+  // and must never be interpreted as markup
+  const sel=$('samples'); sel.innerHTML='';
+  r.samples.forEach(s=>{const o=document.createElement('option');
+    o.textContent=s; sel.add(o)});
+  const box=$('utts'); box.innerHTML='';
+  r.loaded.forEach(n=>{const d=document.createElement('div');
+    d.className='utt'+(n===current?' sel':''); d.textContent=n;
+    d.onclick=()=>select(n); box.appendChild(d)});
 }
 function drawHeat(embed){
   const c=$('heat').getContext('2d'), img=c.createImageData(32,24);
