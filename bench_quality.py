@@ -121,10 +121,13 @@ _GATES = {
 
 
 def _delta_status(metric: str, value: float, prev_row: dict | None,
-                  corpus: str) -> dict:
+                  corpus: str, platform: str) -> dict:
     """delta_vs_prev + pass/warn/fail vs the previous round's row (only
-    when the corpus tags match — cross-corpus numbers aren't comparable)."""
-    if not prev_row or prev_row.get("corpus") != corpus:
+    when the corpus tag AND platform match — cross-corpus numbers aren't
+    comparable, and platform changes the numerics defaults, e.g. the bf16
+    compute policy is auto-on only for TPU)."""
+    if (not prev_row or prev_row.get("corpus") != corpus
+            or prev_row.get("platform", platform) != platform):
         return {"status": "no_baseline"}
     prev = float(prev_row["value"])
     delta = value - prev
@@ -292,6 +295,13 @@ def divergence_only():
 def main():
     import jax
 
+    # RTVC_QUALITY_CPU=1: force the CPU platform (fallback when the TPU
+    # relay is unavailable; rows carry platform so the delta gate never
+    # compares across platforms). Env vars alone are ignored here —
+    # sitecustomize pre-imports jax — so use jax.config.update.
+    if __import__("os").environ.get("RTVC_QUALITY_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+
     from rtvc_tpu.config import preprocessing, sp
     from rtvc_tpu.utils.cache import enable_persistent_cache
     from rtvc_tpu.utils.genquality import (
@@ -304,12 +314,14 @@ def main():
     prev = _load_prev()
     corpus_used = {"tag": "?"}
 
+    platform = jax.devices()[0].platform
+
     def emit(metric, value, **extra):
         value = round(float(value), 4)
         row = {"metric": metric, "value": value, **extra,
-               "corpus": corpus_used["tag"]}
+               "corpus": corpus_used["tag"], "platform": platform}
         row.update(_delta_status(metric, value, prev.get(metric),
-                                 corpus_used["tag"]))
+                                 corpus_used["tag"], platform))
         results.append(row)
         print(json.dumps(row), flush=True)
 
@@ -441,7 +453,7 @@ def main():
         results.append(gate)
         print(json.dumps(gate), flush=True)
         if not FAST:  # fast mode: plumbing only, never record or gate
-            Path("BENCH_QUALITY.json").write_text(
+            PREV_PATH.write_text(
                 "\n".join(json.dumps(r) for r in results) + "\n"
             )
             if gate["value"] == "fail":
