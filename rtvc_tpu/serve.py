@@ -281,6 +281,11 @@ def main():
     parser.add_argument("-v", "--voc_model_fpath", type=Path, required=True)
     parser.add_argument("--host", default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8765)
+    parser.add_argument("--samples_dir", type=Path, default=None,
+                        help="Audio dir the browser toolbox lists "
+                             "(default: the in-repo samples/).")
+    parser.add_argument("--no_ui", action="store_true",
+                        help="API only — don't serve the browser toolbox.")
     args = parser.parse_args()
 
     from rtvc_tpu.inference import encoder, synthesizer, vocoder
@@ -303,7 +308,8 @@ def main():
     vocoder.load_model(args.voc_model_fpath)
     vocoder.warmup()
 
-    server = create_server(args.host, args.port, synth=synth)
+    server = create_server(args.host, args.port, synth=synth,
+                           ui=not args.no_ui, samples_dir=args.samples_dir)
     print(f"Serving on http://{args.host}:{server.server_address[1]} "
           f"(browser toolbox at /, API: /health /embed /clone /stream)")
     try:
