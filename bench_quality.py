@@ -111,12 +111,16 @@ def _load_prev() -> dict:
     return prev
 
 
-# per-metric gate: (higher_is_better, fail_fraction, warn_fraction)
+# per-metric gate: (higher_is_better, fail_fraction, warn_fraction, scale_floor)
+# scale_floor is the metric's noise scale: the worsening fraction is taken
+# against max(|prev|, scale_floor), so a near-zero baseline (e.g. the tiny
+# budget leaves clone_embed_cosine ≈ 0.03 — embedding noise at that budget
+# is larger than 10 % of 0.03) can't turn run-to-run jitter into a fail.
 _GATES = {
-    "clone_embed_cosine": (True, 0.10, 0.03),
-    "gta_vocoded_mcd": (False, 0.10, 0.03),
-    "gt_vocoded_mcd": (False, 0.10, 0.03),
-    "gl_vocoded_mcd": (False, 0.10, 0.03),
+    "clone_embed_cosine": (True, 0.10, 0.03, 0.30),
+    "gta_vocoded_mcd": (False, 0.10, 0.03, 5.0),
+    "gt_vocoded_mcd": (False, 0.10, 0.03, 5.0),
+    "gl_vocoded_mcd": (False, 0.10, 0.03, 5.0),
 }
 
 
@@ -137,9 +141,9 @@ def _delta_status(metric: str, value: float, prev_row: dict | None,
     if gate is None:
         out["status"] = "tracked"
         return out
-    higher_better, fail_f, warn_f = gate
+    higher_better, fail_f, warn_f, scale_floor = gate
     worsening = -delta if higher_better else delta
-    frac = worsening / max(abs(prev), 1e-9)
+    frac = worsening / max(abs(prev), scale_floor)
     out["status"] = ("fail" if frac > fail_f
                      else "warn" if frac > warn_f else "pass")
     return out

@@ -157,3 +157,48 @@ def test_mcd_scale_is_interpretable():
     assert mcd_gl < 15.0, f"GL MCD {mcd_gl:.1f} dB not interpretable"
     assert mcd_q < 2.0, f"mu-law ceiling {mcd_q:.2f} dB"
     assert mcd_noise > 4 * mcd_gl
+
+
+def test_quality_gate_delta_math():
+    """bench_quality's self-gate: relative thresholds on healthy baselines,
+    but a near-zero baseline (tiny-budget clone_embed_cosine ≈ 0.03) must
+    not turn run-to-run embedding noise into a fail — the worsening
+    fraction is taken against max(|prev|, scale_floor)."""
+    import importlib.util
+    from pathlib import Path
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_quality", Path(__file__).parent.parent / "bench_quality.py")
+    bq = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bq)
+
+    def row(metric, value):
+        return {"metric": metric, "value": value, "corpus": "c",
+                "platform": "cpu"}
+
+    # near-zero cosine baseline: a 0.01 absolute wobble is noise, not fail
+    st = bq._delta_status("clone_embed_cosine", 0.017,
+                          row("clone_embed_cosine", 0.027), "c", "cpu")
+    assert st["status"] in ("pass", "warn"), st
+    # a genuine collapse on a healthy baseline still fails
+    st = bq._delta_status("clone_embed_cosine", 0.40,
+                          row("clone_embed_cosine", 0.63), "c", "cpu")
+    assert st["status"] == "fail", st
+    # MCD: small drift warns at most, a >10 % regression fails
+    st = bq._delta_status("gta_vocoded_mcd", 37.0,
+                          row("gta_vocoded_mcd", 36.6), "c", "cpu")
+    assert st["status"] in ("pass", "warn"), st
+    st = bq._delta_status("gta_vocoded_mcd", 42.0,
+                          row("gta_vocoded_mcd", 36.6), "c", "cpu")
+    assert st["status"] == "fail", st
+    # cross-corpus / cross-platform rows never gate
+    st = bq._delta_status("gta_vocoded_mcd", 99.0,
+                          row("gta_vocoded_mcd", 36.6), "other", "cpu")
+    assert st["status"] == "no_baseline", st
+    st = bq._delta_status("gta_vocoded_mcd", 99.0,
+                          row("gta_vocoded_mcd", 36.6), "c", "tpu")
+    assert st["status"] == "no_baseline", st
+    # improvements always pass
+    st = bq._delta_status("gl_vocoded_mcd", 8.0,
+                          row("gl_vocoded_mcd", 9.2), "c", "cpu")
+    assert st["status"] == "pass", st
