@@ -1,0 +1,229 @@
+"""Original dual-softmax WaveRNN ("deepmind" variant) — TPU-native rebuild.
+
+The reference ships this model as DEAD code: vocoder/models/
+deepmind_version.py:8-169 imports a nonexistent ``utils.dsp`` module and is
+absent from the vocoder factory (vocoder/models/base.py:18-109), so it can
+neither train nor generate there. This module makes the component real:
+the WaveRNN paper's unconditional cell — one GRU whose hidden state is
+split into coarse/fine halves, 16-bit audio emitted as two 8-bit
+categorical heads (coarse = high byte, fine = low byte conditioned on the
+current coarse sample).
+
+Architecture parity (ref deepmind_version.py):
+  * ``R``: hidden → 3·hidden gate projection, no bias (line 16)
+  * ``I_coarse``: 2 → 3·split, ``I_fine``: 3 → 3·split, no bias (25-26)
+  * output heads O1..O4: split → split → 256 per half (19-22)
+  * gate math u/r/e with r gating the hidden projection of e (60-63)
+  * generation interleaves coarse-sample → fine-sample half-steps from one
+    ``R(hidden)`` evaluation per step (135-151)
+
+TPU-native design (NOT a translation):
+  * Teacher-forced training scans only the state recurrence; the input
+    projections ``I_coarse(prev_y)`` / ``I_fine(prev_y, c_t)`` for the WHOLE
+    sequence are hoisted out of the scan into two full-sequence MXU matmuls,
+    and both output heads apply to the stacked hidden states after the scan.
+  * Generation is one ``lax.scan`` over samples with in-graph categorical
+    sampling (``jax.random``) — batched chains, zero host round-trips.
+  * 16-bit split/combine lives in ``ops/audio.py`` (split_signal /
+    combine_signal), jittable.
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+VOC_DEEPMIND = "deepmind-wavernn"
+
+
+class DeepMindDims(NamedTuple):
+    hidden: int = 896
+    quantisation: int = 256
+
+    @property
+    def split(self) -> int:
+        return self.hidden // 2
+
+
+def _lin_init(key, out_dim, in_dim, bias=True):
+    s = 1.0 / math.sqrt(in_dim)
+    k1, k2 = jax.random.split(key)
+    p = {"weight": jax.random.uniform(k1, (out_dim, in_dim), jnp.float32, -s, s)}
+    if bias:
+        p["bias"] = jax.random.uniform(k2, (out_dim,), jnp.float32, -s, s)
+    return p
+
+
+def _lin(p: Dict, x: jax.Array) -> jax.Array:
+    y = x @ p["weight"].T
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def init_deepmind(key: jax.Array, d: DeepMindDims) -> Dict[str, Any]:
+    """{'params': ...} with torch-compatible (out, in) weight layout."""
+    ks = jax.random.split(key, 7)
+    params = {
+        "R": _lin_init(ks[0], 3 * d.hidden, d.hidden, bias=False),
+        "O1": _lin_init(ks[1], d.split, d.split),
+        "O2": _lin_init(ks[2], d.quantisation, d.split),
+        "O3": _lin_init(ks[3], d.split, d.split),
+        "O4": _lin_init(ks[4], d.quantisation, d.split),
+        "I_coarse": _lin_init(ks[5], 3 * d.split, 2, bias=False),
+        "I_fine": _lin_init(ks[6], 3 * d.split, 3, bias=False),
+        "bias_u": jnp.zeros(d.hidden),
+        "bias_r": jnp.zeros(d.hidden),
+        "bias_e": jnp.zeros(d.hidden),
+    }
+    return {"params": params}
+
+
+def _scale(labels: jax.Array) -> jax.Array:
+    """8-bit label → float in [-1, 1] (ref deepmind_version.py:104)."""
+    return labels.astype(jnp.float32) / 127.5 - 1.0
+
+
+def _interleave_halves(i_c: jax.Array, i_f: jax.Array) -> jax.Array:
+    """[I_c_u I_f_u | I_c_r I_f_r | I_c_e I_f_e] — the gate layout that
+    matches R's 3·hidden split (ref lines 53-57)."""
+    cu, cr, ce = jnp.split(i_c, 3, axis=-1)
+    fu, fr, fe = jnp.split(i_f, 3, axis=-1)
+    return jnp.concatenate([cu, fu, cr, fr, ce, fe], axis=-1)
+
+
+def deepmind_forward(
+    params: Dict[str, Any],
+    d: DeepMindDims,
+    coarse: jax.Array,
+    fine: jax.Array,
+) -> Tuple[jax.Array, jax.Array]:
+    """Teacher-forced pass over label sequences.
+
+    coarse/fine: (B, T) int labels in [0, 256). Predicts step t from
+    (coarse[t-1], fine[t-1]) plus the ground-truth coarse[t] for the fine
+    head — returns (coarse_logits, fine_logits), each (B, T-1, 256),
+    aligned with targets coarse[:, 1:] / fine[:, 1:].
+    """
+    p = params["params"] if "params" in params else params
+    B, T = coarse.shape
+    prev_y = jnp.stack([_scale(coarse[:, :-1]), _scale(fine[:, :-1])], -1)
+    cur_c = _scale(coarse[:, 1:])[..., None]  # (B, T-1, 1)
+
+    # hoisted full-sequence input projections (two MXU matmuls)
+    i_c = _lin(p["I_coarse"], prev_y)  # (B, T-1, 3*split)
+    i_f = _lin(p["I_fine"], jnp.concatenate([prev_y, cur_c], -1))
+    gate_in = _interleave_halves(i_c, i_f)  # (B, T-1, 3*hidden)
+    gate_in_t = jnp.moveaxis(gate_in, 1, 0)  # (T-1, B, 3*hidden)
+
+    bu, br, be = p["bias_u"], p["bias_r"], p["bias_e"]
+    Rw = p["R"]["weight"]
+
+    def body(hidden, i_t):
+        r_h = hidden @ Rw.T
+        r_u, r_r, r_e = jnp.split(r_h, 3, axis=-1)
+        i_u, i_r, i_e = jnp.split(i_t, 3, axis=-1)
+        u = jax.nn.sigmoid(r_u + i_u + bu)
+        r = jax.nn.sigmoid(r_r + i_r + br)
+        e = jnp.tanh(r * r_e + i_e + be)
+        hidden = u * hidden + (1.0 - u) * e
+        return hidden, hidden
+
+    from rtvc_tpu.ops.scanning import scan_unroll
+
+    h0 = jnp.zeros((B, d.hidden))
+    _, hs = jax.lax.scan(body, h0, gate_in_t, unroll=scan_unroll())
+    hs = jnp.moveaxis(hs, 0, 1)  # (B, T-1, hidden)
+
+    # output heads on the stacked states (full-sequence matmuls)
+    h_c, h_f = jnp.split(hs, 2, axis=-1)
+    out_c = _lin(p["O2"], jax.nn.relu(_lin(p["O1"], h_c)))
+    out_f = _lin(p["O4"], jax.nn.relu(_lin(p["O3"], h_f)))
+    return out_c, out_f
+
+
+def deepmind_loss(
+    params: Dict[str, Any],
+    d: DeepMindDims,
+    coarse: jax.Array,
+    fine: jax.Array,
+) -> jax.Array:
+    """Mean cross-entropy over both 8-bit heads (the paper's dual softmax)."""
+    lc, lf = deepmind_forward(params, d, coarse, fine)
+    tc, tf = coarse[:, 1:], fine[:, 1:]
+    ce = lambda logits, t: -jnp.take_along_axis(
+        jax.nn.log_softmax(logits, -1), t[..., None], -1
+    ).mean()
+    return ce(lc, tc) + ce(lf, tf)
+
+
+def deepmind_generate(
+    params: Dict[str, Any],
+    d: DeepMindDims,
+    key: jax.Array,
+    seq_len: int,
+    batch: int = 1,
+    return_logits: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Sample (batch, seq_len) waveforms. Returns (float wav in [-1, 1],
+    coarse labels, fine labels) — ref deepmind_version.py:75-162, with the
+    per-sample Python loop replaced by one ``lax.scan`` whose body does the
+    coarse half-step, samples, then the fine half-step, in-graph.
+
+    ``return_logits`` appends the per-step head logits (B, T, 256) ×2 so
+    tests can pin sampling-path ≡ teacher-forced-path consistency.
+    """
+    p = params["params"] if "params" in params else params
+    s = d.split
+    bcu, bfu = p["bias_u"][:s], p["bias_u"][s:]
+    bcr, bfr = p["bias_r"][:s], p["bias_r"][s:]
+    bce, bfe = p["bias_e"][:s], p["bias_e"][s:]
+    Rw = p["R"]["weight"]
+
+    def step(carry, key_t):
+        hidden, prev_c, prev_f = carry
+        h_c, h_f = hidden[:, :s], hidden[:, s:]
+        prev_y = jnp.stack([_scale(prev_c), _scale(prev_f)], -1)  # (B, 2)
+
+        r_h = hidden @ Rw.T  # ONE hidden projection per step (ref :135)
+        r_cu, r_fu, r_cr, r_fr, r_ce, r_fe = jnp.split(r_h, 6, axis=-1)
+
+        i_c = _lin(p["I_coarse"], prev_y)
+        i_cu, i_cr, i_ce = jnp.split(i_c, 3, axis=-1)
+        u = jax.nn.sigmoid(r_cu + i_cu + bcu)
+        r = jax.nn.sigmoid(r_cr + i_cr + bcr)
+        e = jnp.tanh(r * r_ce + i_ce + bce)
+        h_c = u * h_c + (1.0 - u) * e
+
+        k_c, k_f = jax.random.split(key_t)
+        logits_c = _lin(p["O2"], jax.nn.relu(_lin(p["O1"], h_c)))
+        c_t = jax.random.categorical(k_c, logits_c, axis=-1)
+
+        fine_in = jnp.concatenate([prev_y, _scale(c_t)[..., None]], -1)
+        i_f = _lin(p["I_fine"], fine_in)
+        i_fu, i_fr, i_fe = jnp.split(i_f, 3, axis=-1)
+        u = jax.nn.sigmoid(r_fu + i_fu + bfu)
+        r = jax.nn.sigmoid(r_fr + i_fr + bfr)
+        e = jnp.tanh(r * r_fe + i_fe + bfe)
+        h_f = u * h_f + (1.0 - u) * e
+
+        logits_f = _lin(p["O4"], jax.nn.relu(_lin(p["O3"], h_f)))
+        f_t = jax.random.categorical(k_f, logits_f, axis=-1)
+
+        hidden = jnp.concatenate([h_c, h_f], -1)
+        return (hidden, c_t, f_t), (c_t, f_t, logits_c, logits_f)
+
+    h0 = jnp.zeros((batch, d.hidden))
+    c0 = jnp.zeros((batch,), jnp.int32)
+    keys = jax.random.split(key, seq_len)
+    _, (cs, fs, lcs, lfs) = jax.lax.scan(step, (h0, c0, c0), keys)
+    cs, fs = cs.T, fs.T  # (batch, seq_len)
+
+    from rtvc_tpu.ops.audio import combine_signal
+
+    wav = combine_signal(cs, fs).astype(jnp.float32) / 2**15
+    if return_logits:
+        return wav, cs, fs, jnp.moveaxis(lcs, 0, 1), jnp.moveaxis(lfs, 0, 1)
+    return wav, cs, fs
