@@ -130,8 +130,13 @@ def _delta_status(metric: str, value: float, prev_row: dict | None,
     when the corpus tag AND platform match — cross-corpus numbers aren't
     comparable, and platform changes the numerics defaults, e.g. the bf16
     compute policy is auto-on only for TPU)."""
+    # Strict platform match: a legacy row with no "platform" tag was
+    # measured on an unknown backend, so it must NOT gate this run
+    # (defaulting it to the current platform would compare CPU numbers
+    # against TPU baselines — exactly the cross-platform comparison this
+    # guard exists to prevent).
     if (not prev_row or prev_row.get("corpus") != corpus
-            or prev_row.get("platform", platform) != platform):
+            or prev_row.get("platform") != platform):
         return {"status": "no_baseline"}
     prev = float(prev_row["value"])
     delta = value - prev

@@ -29,13 +29,17 @@ TPU-native design (NOT a translation):
 """
 from __future__ import annotations
 
-import math
+import functools
 from typing import Any, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 
-VOC_DEEPMIND = "deepmind-wavernn"
+# Shared with the three production variants: same torch-compatible init,
+# and _linear routes matmuls through the repo-wide compute policy
+# (ops/precision.matmul_dtype — bf16 auto-on for TPU).
+from rtvc_tpu.models.wavernn import _lin_init
+from rtvc_tpu.models.wavernn import _linear as _lin
 
 
 class DeepMindDims(NamedTuple):
@@ -45,22 +49,6 @@ class DeepMindDims(NamedTuple):
     @property
     def split(self) -> int:
         return self.hidden // 2
-
-
-def _lin_init(key, out_dim, in_dim, bias=True):
-    s = 1.0 / math.sqrt(in_dim)
-    k1, k2 = jax.random.split(key)
-    p = {"weight": jax.random.uniform(k1, (out_dim, in_dim), jnp.float32, -s, s)}
-    if bias:
-        p["bias"] = jax.random.uniform(k2, (out_dim,), jnp.float32, -s, s)
-    return p
-
-
-def _lin(p: Dict, x: jax.Array) -> jax.Array:
-    y = x @ p["weight"].T
-    if "bias" in p:
-        y = y + p["bias"]
-    return y
 
 
 def init_deepmind(key: jax.Array, d: DeepMindDims) -> Dict[str, Any]:
@@ -227,3 +215,29 @@ def deepmind_generate(
     if return_logits:
         return wav, cs, fs, jnp.moveaxis(lcs, 0, 1), jnp.moveaxis(lfs, 0, 1)
     return wav, cs, fs
+
+
+@functools.lru_cache(maxsize=8)
+def _generate_jit(d: DeepMindDims):
+    """Jitted generate cached per dims (params are traced arguments, not
+    baked consts) — per-call jit/eager-scan dispatch re-traces every
+    request, the documented 300× NAR-generate trap."""
+    return jax.jit(
+        functools.partial(deepmind_generate, d=d),
+        static_argnames=("seq_len", "batch", "return_logits"),
+    )
+
+
+def generate(
+    params: Dict[str, Any],
+    d: DeepMindDims,
+    key: jax.Array,
+    seq_len: int,
+    batch: int = 1,
+    return_logits: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Compiled entry point for sampling; see ``deepmind_generate``."""
+    return _generate_jit(d)(
+        params, key=key, seq_len=int(seq_len), batch=int(batch),
+        return_logits=bool(return_logits),
+    )

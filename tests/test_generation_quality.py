@@ -198,6 +198,11 @@ def test_quality_gate_delta_math():
     st = bq._delta_status("gta_vocoded_mcd", 99.0,
                           row("gta_vocoded_mcd", 36.6), "c", "tpu")
     assert st["status"] == "no_baseline", st
+    # a legacy row with NO platform tag was measured on an unknown backend
+    # and must not gate either (it must not default to the current one)
+    untagged = {"metric": "gta_vocoded_mcd", "value": 36.6, "corpus": "c"}
+    st = bq._delta_status("gta_vocoded_mcd", 99.0, untagged, "c", "cpu")
+    assert st["status"] == "no_baseline", st
     # improvements always pass
     st = bq._delta_status("gl_vocoded_mcd", 8.0,
                           row("gl_vocoded_mcd", 9.2), "c", "cpu")

@@ -15,6 +15,7 @@ from rtvc_tpu.models.wavernn_deepmind import (
     deepmind_forward,
     deepmind_generate,
     deepmind_loss,
+    generate,
     init_deepmind,
 )
 
@@ -88,12 +89,13 @@ def test_generate_logits_match_teacher_forced(small):
     np.testing.assert_allclose(np.asarray(lf), np.asarray(lfs), atol=1e-4)
     assert wav.shape == (2, 17)
     assert float(jnp.abs(wav).max()) <= 1.0
-    # same key → same waveform; different key → different
-    wav2 = deepmind_generate(variables, d, jax.random.PRNGKey(3),
-                             seq_len=17, batch=2)[0]
+    # same key → same waveform (through the cached-jit entry point, which
+    # must equal the eager path); different key → different
+    wav2 = generate(variables, d, jax.random.PRNGKey(3),
+                    seq_len=17, batch=2)[0]
     np.testing.assert_array_equal(np.asarray(wav), np.asarray(wav2))
-    wav3 = deepmind_generate(variables, d, jax.random.PRNGKey(4),
-                             seq_len=17, batch=2)[0]
+    wav3 = generate(variables, d, jax.random.PRNGKey(4),
+                    seq_len=17, batch=2)[0]
     assert not np.array_equal(np.asarray(wav), np.asarray(wav3))
 
 
