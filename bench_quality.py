@@ -9,7 +9,11 @@ across rounds:
   * ``clone_embed_cosine`` — clone a REFERENCE-SAMPLE prompt
     (samples/p240_00000.mp3) end-to-end through the public APIs and report
     the speaker-embedding cosine between prompt and clone (the toolbox
-    autotune metric, ref: toolbox/toolbox.py:413-473);
+    autotune metric, ref: toolbox/toolbox.py:413-473) — plus two anchor
+    rows that put the absolute on a readable scale for THIS tiny-budget
+    encoder: ``embed_cosine_same_speaker_anchor`` (two halves of the
+    prompt utterance — the ceiling a perfect clone could reach) and
+    ``embed_cosine_diff_speaker_floor`` (prompt vs another speaker);
   * ``gta_vocoded_mcd`` — mel-cepstral distortion between a training
     utterance's ground-truth audio and the vocoder's decode of its GTA mel
     (the classic vocoder-fidelity number — real speech puts it on the
@@ -381,6 +385,27 @@ def main():
         )
         emit("clone_embed_cosine", float(np.dot(prompt_embed, clone_embed)),
              prompt="p240_00000.mp3" if prompt_path.exists() else "synthetic")
+
+        # Anchors that make the absolute cosine readable against THIS
+        # tiny-budget encoder (the toolbox autotune metric is read against
+        # exactly such a scale, ref toolbox/toolbox.py:413-473):
+        #   ceiling = two halves of the prompt utterance (same speaker,
+        #             different content — the best a perfect clone could do)
+        #   floor   = a different speaker's utterance vs the prompt
+        from rtvc_tpu.utils.io import load_wav as _load_wav
+
+        half = len(prompt_wav) // 2
+        if half >= sp.sample_rate:  # each half long enough to embed
+            e1 = enc_api.embed_utterance(prompt_wav[:half])
+            e2 = enc_api.embed_utterance(prompt_wav[half:])
+            emit("embed_cosine_same_speaker_anchor", float(np.dot(e1, e2)))
+        other_wav, _ = _load_wav(
+            root / "datasets" / "Tiny" / "speakers" / "spk1" / "utt0.wav",
+            target_sr=sp.sample_rate,
+        )
+        other_embed = enc_api.embed_utterance(other_wav)
+        emit("embed_cosine_diff_speaker_floor",
+             float(np.dot(prompt_embed, other_embed)))
 
         # ---- MCD: GT audio vs vocoded GTA reconstruction -------------------
         import json as _json
