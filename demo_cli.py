@@ -222,9 +222,9 @@ if __name__ == "__main__":
                         help="Skip the mp3 support probe (mp3 decode itself "
                              "uses the system libmpg123 when present).")
     parser.add_argument("--stream", action="store_true",
-                        help="Stream the clone in ~0.6 s chunks (Tacotron "
-                             "only; first audio in ~0.2 s instead of after "
-                             "the whole utterance).")
+                        help="Stream the clone in ~0.6 s chunks (all three "
+                             "synthesizer types; first audio in ~0.2 s "
+                             "instead of after the whole utterance).")
     parser.add_argument("--selftest", action="store_true",
                         help="Run only the configuration test and exit.")
     args = parser.parse_args()
