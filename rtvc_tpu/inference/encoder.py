@@ -243,6 +243,7 @@ def embed_speaker(wavs: List[np.ndarray], **kwargs) -> np.ndarray:
 
 def plot_embedding_as_heatmap(embed, ax=None, title="", shape=None, color_range=(0, 0.30)):
     """Embedding heatmap (ref: encoder/inference.py:168-183)."""
+    import matplotlib
     import matplotlib.pyplot as plt
     from matplotlib import cm
 
@@ -252,7 +253,7 @@ def plot_embedding_as_heatmap(embed, ax=None, title="", shape=None, color_range=
         height = int(len(embed) / 16)
         shape = (height, -1)
     embed = np.asarray(embed).reshape(shape)
-    cmap = cm.get_cmap()
+    cmap = matplotlib.colormaps[matplotlib.rcParams["image.cmap"]]
     mappable = ax.imshow(embed, cmap=cmap)
     plt.colorbar(mappable, ax=ax, fraction=0.046, pad=0.04)
     sm = cm.ScalarMappable(cmap=cmap)
