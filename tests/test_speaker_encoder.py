@@ -78,7 +78,7 @@ class TestGE2E:
         S, U, _ = e.shape
         target = torch.from_numpy(np.repeat(np.arange(S), U)).long()
         expected = torch.nn.functional.cross_entropy(
-            torch.from_numpy(np.asarray(sim_flat)), target
+            torch.from_numpy(np.array(sim_flat)), target
         ).item()
         assert abs(float(loss) - expected) < 1e-5
 
