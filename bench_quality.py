@@ -44,6 +44,14 @@ import numpy as np
 
 CORPUS_TAG = "real_speech_v2"  # bump when the corpus/budget changes
 PREV_PATH = Path(__file__).parent / "BENCH_QUALITY.json"
+FAILED_PATH = Path(__file__).parent / "BENCH_QUALITY.failed.json"
+
+# Tiny-vocoder dims, shared between main()'s training config and
+# _voc_cfg_of()'s decode-path rebuild so the two can never drift apart.
+_VOC_TINY_DIMS = dict(
+    rnn_dims=64, fc_dims=64, compute_dims=32, res_out_dims=32,
+    res_blocks=2, bits=8, seq_len=200 * 4,
+)
 
 # RTVC_QUALITY_FAST=1: tiny training budgets + no artifact write — lets a
 # CPU test drive every metric path end-to-end in minutes (the numbers are
@@ -240,8 +248,7 @@ def train_tiny_pipeline(root: Path):
     run_synthesis(syn_dir, voc_dir, taco_bundle, r=2, batch_size=4)
 
     voc_cfg = WaveRNNParams(
-        rnn_dims=64, fc_dims=64, compute_dims=32, res_out_dims=32,
-        res_blocks=2, bits=8, seq_len=200 * 4,
+        **_VOC_TINY_DIMS,
         voc_tts_schedule=((15 if FAST else 800, 1e-3, 3e-4, 4),),
         gen_target=400, gen_overlap=150,
     )
@@ -487,22 +494,27 @@ def main():
         results.append(gate)
         print(json.dumps(gate), flush=True)
         if not FAST:  # fast mode: plumbing only, never record or gate
-            PREV_PATH.write_text(
-                "\n".join(json.dumps(r) for r in results) + "\n"
-            )
+            payload = "\n".join(json.dumps(r) for r in results) + "\n"
             if gate["value"] == "fail":
+                # Do NOT replace the baseline with the regressed rows —
+                # otherwise a simple re-run would gate against the
+                # regression and pass. Park the evidence next to it.
+                FAILED_PATH.write_text(payload)
+                print(f"quality gate FAILED — rows written to {FAILED_PATH}; "
+                      f"baseline {PREV_PATH.name} left untouched", flush=True)
                 raise SystemExit(1)
+            PREV_PATH.write_text(payload)
+            FAILED_PATH.unlink(missing_ok=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
 
 def _voc_cfg_of():
+    """The tiny vocoder dims (shared with main's training config via
+    _VOC_TINY_DIMS — a second hand-written literal here once drifted)."""
     from rtvc_tpu.config.vocoder import WaveRNNParams
 
-    return WaveRNNParams(
-        rnn_dims=64, fc_dims=64, compute_dims=32, res_out_dims=32,
-        res_blocks=2, bits=8, seq_len=200 * 4,
-    )
+    return WaveRNNParams(**_VOC_TINY_DIMS)
 
 
 if __name__ == "__main__":

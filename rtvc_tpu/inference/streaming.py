@@ -70,10 +70,16 @@ def _make_post_vocode(d_syn, voc_dims, post_ctx: int, voc_ctx: int,
 
     @jax.jit
     def run(syn_variables, voc_variables, raw_hist, mel_chunk, post_hist,
-            key):
-        # (n_mels, post_ctx) ++ (n_mels, chunk) → postnet window
+            key, valid_frames):
+        # (n_mels, post_ctx) ++ (n_mels, chunk) → postnet window.
+        # ``valid_frames`` length-limits the CBHG: on the final chunk the
+        # window carries silence-pad frames past the stop point, and the
+        # postnet's backward GRU would bleed them into the kept frames —
+        # the exact leak the batch path masks (models/tacotron.py:_postnet).
         win = jnp.concatenate([raw_hist, mel_chunk[0]], axis=1)[None]
-        lin, _ = taco._postnet(syn_variables, d_syn, win, False, None)
+        lengths = jnp.asarray([post_ctx + valid_frames], jnp.int32)
+        lin, _ = taco._postnet(syn_variables, d_syn, win, False, None,
+                               lengths=lengths)
         post = jnp.swapaxes(lin, 1, 2)[0]
         post_chunk = post[:, post_ctx:]
         cond = jnp.concatenate([post_hist, post_chunk], axis=1)
@@ -457,6 +463,7 @@ def stream_clone(
         wav_dev, raw_hist, post_hist = _post_vocode(n_frames)(
             variables, voc_variables, raw_hist, mel_chunk, post_hist,
             jax.random.fold_in(jax.random.PRNGKey(seed ^ 0x5EED), index),
+            jnp.asarray(valid_frames, jnp.int32),
         )
         # Pipeline: dispatch the NEXT chunk's decode before transferring
         # this chunk's audio — the transfer overlaps the decode on device.
