@@ -101,18 +101,28 @@ def main():
 
     np.asarray(dispatch(0))  # warmup this exact call signature
     N = 16
+    # Spread-gated chains (round-4 verdict item 4): run pipelined chains
+    # until the best-3 agree within TARGET_SPREAD (so a real ~5 % regression
+    # can't hide inside session noise), up to MAX_CHAINS; the headline is
+    # the MEDIAN of the best 3 (not the min), making it a reproducible
+    # statistic rather than a lucky tail draw.
+    TARGET_SPREAD, MAX_CHAINS = 2.0, 10
     reps = []
-    for rep in range(3):  # best-of-3: rides out tunnel-load swings
+    spread_pct = float("inf")
+    for rep in range(MAX_CHAINS):
         t0 = time.perf_counter()
         outs = [dispatch(100 * rep + i) for i in range(1, N + 1)]
         np.asarray(outs[-1])  # one transfer drains the whole pipeline
         reps.append((time.perf_counter() - t0) / N)
-    dt_dev = min(reps)
+        if len(reps) >= 3:
+            best3 = sorted(reps)[:3]
+            spread_pct = 100.0 * (best3[-1] - best3[0]) / max(best3[1], 1e-12)
+            if spread_pct <= TARGET_SPREAD:
+                break
+    best3 = sorted(reps)[:3]
+    dt_dev = float(best3[1])  # median of the best 3 chains
     dev_khz = wave_len / dt_dev / 1000.0
     rtf_2205 = dev_khz * 1000.0 / 22050.0
-    # uncertainty band across the 3 pipelined reps (round-2 review: session
-    # swings made <15% deltas unreadable without one)
-    spread_pct = 100.0 * (max(reps) - min(reps)) / max(np.median(reps), 1e-12)
 
     # Roofline (round 3): workload FLOPs from XLA's cost model on the
     # XLA-scan backend — both backends run the identical per-step math, so
@@ -150,6 +160,7 @@ def main():
                 "e2e_khz": round(e2e_khz, 2),
                 "e2e_rtf_2205": round(e2e_khz * 1000.0 / 22050.0, 2),
                 "rep_spread_pct": round(spread_pct, 1),
+                "n_chains": len(reps),
                 **roof,
             }
         )

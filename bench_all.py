@@ -231,6 +231,50 @@ def main():
     emit("batched_clone_4utt", dt, "s",
          {"audio_s": round(total_audio / 16000, 2)})
 
+    # ---- 5b. fused-batch vocoder throughput, device time -------------------
+    # The serving mode customers deploy (round-4 verdict item 5): 4×5 s
+    # utterances through ONE _generate_batch_pipeline dispatch (every
+    # utterance's fold windows share the device batch axis — ref throughput
+    # mode: synthesizer/inference.py:121-146 + fatchord_version.py:174-177).
+    # Pipelined-dispatch methodology as bench.py's headline.
+    from rtvc_tpu.models.wavernn import _FRAME_BUCKET, _generate_batch_pipeline
+
+    n_utt, n_frames = 4, 400
+    bucket = -(-n_frames // _FRAME_BUCKET) * _FRAME_BUCKET
+    stack = np.full((n_utt, 80, bucket), -1.0, np.float32)
+    stack[:, :, :n_frames] = rng.uniform(-1, 1, (n_utt, 80, n_frames))
+    stack_j = jnp.asarray(stack)
+    fused_audio = n_utt * (n_frames - 1) * 200  # samples out
+
+    def _fused(i, use_pallas):
+        return _generate_batch_pipeline(
+            voc_bundle.variables, voc_bundle.dims, stack_j,
+            jax.random.PRNGKey(300 + i), 400, 160, True, True,
+            jnp.float32, use_pallas, jnp.bfloat16,
+        )
+
+    try:
+        use_pallas = jax.devices()[0].platform == "tpu"
+        try:
+            np.asarray(_fused(0, use_pallas))  # warmup
+        except Exception:
+            use_pallas = False
+            np.asarray(_fused(0, use_pallas))
+        N = 8
+        chain_times = []
+        for rep in range(3):
+            t0 = time.perf_counter()
+            outs = [_fused(10 * rep + i, use_pallas) for i in range(1, N + 1)]
+            np.asarray(outs[-1])
+            chain_times.append((time.perf_counter() - t0) / N)
+        dt = float(np.median(chain_times))
+        emit("wavernn_gen_rate_fusedbatch", fused_audio / dt / 1000, "kHz",
+             {"n_utt": n_utt, "audio_s": round(fused_audio / 16000, 2),
+              "rtf_22k": round(fused_audio / dt / 22050, 2),
+              "pallas": use_pallas})
+    except Exception as e:
+        emit("wavernn_gen_rate_fusedbatch", -1, "kHz", {"error": str(e)[:80]})
+
     print(json.dumps({"all": results}))
 
 

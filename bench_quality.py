@@ -32,19 +32,38 @@ not dependent on a human remembering last round's numbers.
 
 Deterministic seeds throughout; one JSON line per metric. Run standalone
 (CPU ok; ~5-10 min): results are recorded in BENCHMARKS.md's quality table.
+
+Tiers (round 5): ``--tpu_budget`` (or RTVC_QUALITY_TIER=tpu_budget) runs the
+same pipeline at a REAL training budget — thousands of steps per stage on
+the TPU with mid-size models — and adds the capability metrics the
+module-parity suite can't produce: ``encoder_train_eer`` on the fixture
+speakers, ``attention_alignment``/``attention_sharpness`` of the trained
+Tacotron (the ref's own data-filter gates, config/hparams.py:91-93,
+computed by get_attention_score, synthesizer/preprocess.py:474-501) early
+vs final, and a committed listening triplet (target / Griffin-Lim /
+vocoded — ref vocoder/gen_wavernn.py:5-38) plus the end-to-end clone wav
+under ``artifacts/quality_tpu/``. Tier rows carry their own corpus tag so
+the self-gate never compares across budgets; BENCH_QUALITY.json holds both
+tiers' rows (merged by metric+corpus on write).
 """
 from __future__ import annotations
 
 import json
+import os
 import shutil
+import sys
 import tempfile
 from pathlib import Path
 
 import numpy as np
 
-CORPUS_TAG = "real_speech_v2"  # bump when the corpus/budget changes
+TIER = os.environ.get("RTVC_QUALITY_TIER", "default")
+if __name__ == "__main__" and "--tpu_budget" in sys.argv:
+    TIER = "tpu_budget"
+
 PREV_PATH = Path(__file__).parent / "BENCH_QUALITY.json"
 FAILED_PATH = Path(__file__).parent / "BENCH_QUALITY.failed.json"
+ARTIFACT_DIR = Path(__file__).parent / "artifacts" / "quality_tpu"
 
 # Tiny-vocoder dims, shared between main()'s training config and
 # _voc_cfg_of()'s decode-path rebuild so the two can never drift apart.
@@ -53,10 +72,60 @@ _VOC_TINY_DIMS = dict(
     res_blocks=2, bits=8, seq_len=200 * 4,
 )
 
+# Per-tier training budgets/dims. "default" reproduces the historical
+# CPU-scale run byte-for-byte; "tpu_budget" is the round-5 capability tier:
+# mid-size models, thousands of steps per stage (minutes on the TPU after
+# the round-4 train-throughput work — fused RNN kernels, hoisted decoder).
+_TIERS = {
+    "default": dict(
+        tag="real_speech_v2",
+        enc=dict(hidden=64, steps=100, lr=1e-3, spk=2, utts=3, frames=80),
+        taco=dict(
+            hp=dict(embed_dims=32, encoder_dims=16, decoder_dims=32,
+                    postnet_dims=16, encoder_K=4, lstm_dims=32, postnet_K=4,
+                    num_highways=2, max_decoder_steps=400),
+            r=2, batch=4, steps=100, early=0, lr=(1e-3, 3e-4),
+        ),
+        voc=dict(dims=_VOC_TINY_DIMS, steps=1500, batch=4, lr=(1e-3, 3e-4)),
+        capability_metrics=False,
+    ),
+    "tpu_budget": dict(
+        tag="real_speech_tpu_v1",
+        enc=dict(hidden=256, steps=3000, lr=1e-3, spk=3, utts=3, frames=120),
+        taco=dict(
+            hp=dict(embed_dims=256, encoder_dims=128, decoder_dims=256,
+                    postnet_dims=128, encoder_K=8, lstm_dims=384, postnet_K=8,
+                    num_highways=4, max_decoder_steps=400),
+            r=2, batch=8, steps=5000, early=500, lr=(1e-3, 1e-4),
+        ),
+        voc=dict(
+            dims=dict(rnn_dims=256, fc_dims=256, compute_dims=128,
+                      res_out_dims=128, res_blocks=3, bits=9,
+                      seq_len=200 * 5),
+            steps=8000, batch=8, lr=(1e-3, 3e-4),
+        ),
+        capability_metrics=True,
+    ),
+}
+
 # RTVC_QUALITY_FAST=1: tiny training budgets + no artifact write — lets a
 # CPU test drive every metric path end-to-end in minutes (the numbers are
 # meaningless; only the plumbing is under test)
-FAST = __import__("os").environ.get("RTVC_QUALITY_FAST") == "1"
+FAST = os.environ.get("RTVC_QUALITY_FAST") == "1"
+
+
+def _tier():
+    t = _TIERS[TIER]
+    if FAST:  # plumbing-only budgets, every code path still exercised
+        t = dict(t)
+        t["enc"] = dict(t["enc"], steps=10)
+        t["taco"] = dict(t["taco"], steps=10,
+                         early=5 if t["taco"]["early"] else 0)
+        t["voc"] = dict(t["voc"], steps=30)
+    return t
+
+
+CORPUS_TAG = _TIERS[TIER]["tag"]
 
 
 def build_corpus(root: Path) -> str:
@@ -110,17 +179,67 @@ def build_corpus(root: Path) -> str:
 
 
 def _load_prev() -> dict:
-    """metric → previous row, from the committed BENCH_QUALITY.json."""
+    """(metric, corpus) → previous row, from the committed
+    BENCH_QUALITY.json (both tiers' rows live in the file; the corpus tag
+    disambiguates)."""
     prev = {}
     try:
         for line in PREV_PATH.read_text().splitlines():
             line = line.strip()
             if line:
                 row = json.loads(line)
-                prev[row["metric"]] = row
+                prev[(row["metric"], row.get("corpus"))] = row
     except Exception:
         pass
     return prev
+
+
+def _attention_metrics(bundle, syn_dir):
+    """Mean (alignment, sharpness) of the teacher-forced attention over the
+    training utterances — the reference's own data-quality gates
+    (get_attention_score, ref synthesizer/preprocess.py:474-501; thresholds
+    config/hparams.py:91-93)."""
+    from rtvc_tpu.data.duration_extractor import attention_scores
+    from rtvc_tpu.data.synthesizer_dataset import SynthesizerDataset
+    from rtvc_tpu.inference.attention import TacotronAligner
+
+    ds = SynthesizerDataset(syn_dir, ["mel", "embed"])
+    aligner = TacotronAligner(bundle=bundle)
+    aligns, sharps = [], []
+    for i in range(len(ds)):
+        item = ds[i]
+        att = aligner.attention(item["text"], item["mel"], item["embed"])
+        a, s = attention_scores(att[None], np.asarray([att.shape[0]]), r=1)
+        aligns.append(float(a[0]))
+        sharps.append(float(s[0]))
+    return float(np.mean(aligns)), float(np.mean(sharps))
+
+
+def _encoder_corpus_eer(root: Path) -> float:
+    """GE2E EER of the trained encoder over the fixture-corpus utterances
+    (the ref's training-time encoder-quality instrument,
+    encoder/model.py:126-135). Similarity uses raw cosines (w=1, b=0): EER
+    is invariant under the learned monotone scale."""
+    import jax.numpy as jnp
+
+    from rtvc_tpu.config import sp
+    from rtvc_tpu.inference import encoder as enc_api
+    from rtvc_tpu.models.speaker_encoder import compute_eer, similarity_matrix
+    from rtvc_tpu.utils.io import load_wav
+
+    per_spk = []
+    for d in sorted((root / "datasets" / "Tiny" / "speakers").iterdir()):
+        es = []
+        for w in sorted(d.glob("utt*.wav")):
+            wav, _ = load_wav(w, target_sr=sp.sample_rate)
+            es.append(enc_api.embed_utterance(wav))
+        per_spk.append(es)
+    U = min(len(es) for es in per_spk)
+    arr = np.stack([np.stack(es[:U]) for es in per_spk])  # (S, U, E)
+    S = arr.shape[0]
+    sim = similarity_matrix(jnp.asarray(arr), jnp.asarray(1.0),
+                            jnp.asarray(0.0))
+    return compute_eer(np.asarray(sim).reshape(S * U, S), S)
 
 
 # per-metric gate: (higher_is_better, fail_fraction, warn_fraction, scale_floor)
@@ -133,6 +252,9 @@ _GATES = {
     "gta_vocoded_mcd": (False, 0.10, 0.03, 5.0),
     "gt_vocoded_mcd": (False, 0.10, 0.03, 5.0),
     "gl_vocoded_mcd": (False, 0.10, 0.03, 5.0),
+    "attention_alignment": (True, 0.10, 0.03, 0.50),
+    "attention_sharpness": (True, 0.10, 0.03, 0.30),
+    "encoder_train_eer": (False, 0.10, 0.03, 0.10),
 }
 
 
@@ -166,8 +288,11 @@ def _delta_status(metric: str, value: float, prev_row: dict | None,
     return out
 
 
-def train_tiny_pipeline(root: Path):
-    """Encoder → synthesizer (+GTA) → vocoder, overfit on the tiny corpus.
+def train_tiny_pipeline(root: Path, attn_hook=None):
+    """Encoder → synthesizer (+GTA) → vocoder, overfit on the tiny corpus
+    at the active tier's budget. ``attn_hook(bundle, phase)`` is called on
+    the partially- and fully-trained Tacotron when the tier requests the
+    attention capability metrics (phase "early"/"final").
     Returns (models_dir, syn_dir, voc_dir, taco_bundle, voc_out)."""
     from rtvc_tpu.config.encoder import EncoderDataParams, EncoderModelParams
     from rtvc_tpu.config.synthesizer import TacotronParams
@@ -189,6 +314,7 @@ def train_tiny_pipeline(root: Path):
     from rtvc_tpu.train.gta import run_synthesis
     from rtvc_tpu.train.trainer import train_encoder, train_synthesizer, train_vocoder
 
+    T = _tier()
     datasets_root = root / "datasets"
     models_dir = root / "models"
 
@@ -198,15 +324,19 @@ def train_tiny_pipeline(root: Path):
         extensions=(".wav",), n_threads=2,
     )
     ds = SpeakerVerificationDataset(enc_dir)
+    e = T["enc"]
     enc_model = SpeakerEncoder(
-        model=EncoderModelParams(model_hidden_size=64, model_embedding_size=768),
+        model=EncoderModelParams(model_hidden_size=e["hidden"],
+                                 model_embedding_size=768),
         data=EncoderDataParams(),
     )
-    it = speaker_batch_iterator(ds, 2, 3, n_frames=80, prefetch=0, seed=0)
+    it = speaker_batch_iterator(ds, e["spk"], e["utts"],
+                                n_frames=e["frames"], prefetch=0, seed=0)
     train_encoder(
-        "enc", it, models_dir, speakers_per_batch=2, utterances_per_speaker=3,
-        learning_rate=1e-3, total_steps=10 if FAST else 100,
-        save_every=100, eer_every=0,
+        "enc", it, models_dir, speakers_per_batch=e["spk"],
+        utterances_per_speaker=e["utts"],
+        learning_rate=e["lr"], total_steps=e["steps"],
+        save_every=e["steps"], eer_every=0,
         model=enc_model,
     )
 
@@ -222,47 +352,64 @@ def train_tiny_pipeline(root: Path):
     )
     create_embeddings(syn_dir, encoder_model_fpath=None, n_processes=2)
 
+    tc = T["taco"]
+    # loops sized so max_steps (not epoch exhaustion) ends the session; the
+    # default tier keeps its historical 40-loop LR denominator
+    loops = 5 if (FAST and TIER == "default") else (40 if TIER == "default"
+                                                    else tc["steps"])
     taco_cfg = TacotronParams(
-        embed_dims=32, encoder_dims=16, decoder_dims=32, postnet_dims=16,
-        encoder_K=4, lstm_dims=32, postnet_K=4, num_highways=2,
-        max_decoder_steps=400,
-        tts_schedule=((2, 5 if FAST else 40, 4, 1e-3, 3e-4),),
+        **tc["hp"],
+        tts_schedule=((tc["r"], loops, tc["batch"]) + tuple(tc["lr"]),),
     )
     dataset = SynthesizerDataset(syn_dir, ["mel", "embed"])
 
     def epoch_batches(session_idx, r):
-        return batch_iterator(dataset, batch_size=4, r=r, seed=session_idx)
+        return batch_iterator(dataset, batch_size=tc["batch"], r=r,
+                              seed=session_idx)
 
+    def bundle_of(variables):
+        return factories.init_syn_model(
+            factories.MODEL_TYPE_TACOTRON, override_hp=taco_cfg,
+            variables=variables,
+        )
+
+    if tc["early"] and attn_hook is not None:
+        tout = train_synthesizer(
+            "taco", factories.MODEL_TYPE_TACOTRON, syn_dir, models_dir,
+            epoch_batches, save_every=10_000, eval_interval=0,
+            max_steps=tc["early"], override_hp=taco_cfg,
+        )
+        attn_hook(bundle_of(tout["variables"]), "early")
     tout = train_synthesizer(
         "taco", factories.MODEL_TYPE_TACOTRON, syn_dir, models_dir,
-        epoch_batches, save_every=100, eval_interval=0,
-        max_steps=10 if FAST else 100,
-        override_hp=taco_cfg,
+        epoch_batches, save_every=10_000, eval_interval=0,
+        max_steps=tc["steps"], override_hp=taco_cfg,
     )
-    taco_bundle = factories.init_syn_model(
-        factories.MODEL_TYPE_TACOTRON, override_hp=taco_cfg,
-        variables=tout["variables"],
-    )
+    taco_bundle = bundle_of(tout["variables"])
+    if attn_hook is not None:
+        attn_hook(taco_bundle, "final")
 
     voc_dir = root / "SV2TTS" / "vocoder"
-    run_synthesis(syn_dir, voc_dir, taco_bundle, r=2, batch_size=4)
+    run_synthesis(syn_dir, voc_dir, taco_bundle, r=tc["r"], batch_size=4)
 
+    vc = T["voc"]
+    voc_loops = (15 if FAST else 800) if TIER == "default" else vc["steps"]
     voc_cfg = WaveRNNParams(
-        **_VOC_TINY_DIMS,
-        voc_tts_schedule=((15 if FAST else 800, 1e-3, 3e-4, 4),),
+        **vc["dims"],
+        voc_tts_schedule=((voc_loops,) + tuple(vc["lr"]) + (vc["batch"],),),
         gen_target=400, gen_overlap=150,
     )
     voc_dataset = VocoderDataset(
         voc_dir / "synthesized.json", voc_dir / "mels_gta",
         syn_dir / "wav", voc_cfg,
     )
-    # 1500 steps: post-compile throughput is ~23 steps/s on the TPU, so
-    # the deeper overfit costs ~1 min and moves the vocoded MCDs from
-    # "noise" toward the interpretable range the GL anchor sits in
+    # deeper overfit moves the vocoded MCDs from "noise" toward the
+    # interpretable range the GL anchor sits in (post-compile TPU
+    # throughput is tens of steps/s at these dims — minutes, not hours)
     vout = train_vocoder(
         "voc", factories.MODEL_TYPE_RUNTIMERACER, models_dir,
-        lambda s: voc_batches(voc_dataset, 4, voc_cfg, seed=s),
-        save_every=2000, max_steps=30 if FAST else 1500,
+        lambda s: voc_batches(voc_dataset, vc["batch"], voc_cfg, seed=s),
+        save_every=10 * vc["steps"], max_steps=vc["steps"],
         override_hp=voc_cfg,
     )
     return models_dir, syn_dir, voc_dir, taco_bundle, vout
@@ -340,15 +487,29 @@ def main():
         value = round(float(value), 4)
         row = {"metric": metric, "value": value, **extra,
                "corpus": corpus_used["tag"], "platform": platform}
-        row.update(_delta_status(metric, value, prev.get(metric),
-                                 corpus_used["tag"], platform))
+        row.update(_delta_status(
+            metric, value, prev.get((metric, corpus_used["tag"])),
+            corpus_used["tag"], platform))
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    T = _tier()
     root = Path(tempfile.mkdtemp(prefix="rtvc_quality_"))
     try:
+        # build_corpus returns the tier's tag, or "synthetic_tones" on
+        # mp3-decode fallback (either way rows gate only against same-tag)
         corpus_used["tag"] = build_corpus(root)
-        models_dir, syn_dir, voc_dir, taco_bundle, vout = train_tiny_pipeline(root)
+        attn_rows = {}
+
+        def attn_hook(bundle, phase):
+            attn_rows[phase] = _attention_metrics(
+                bundle, root / "SV2TTS" / "synthesizer"
+            )
+
+        models_dir, syn_dir, voc_dir, taco_bundle, vout = train_tiny_pipeline(
+            root,
+            attn_hook=attn_hook if T["capability_metrics"] else None,
+        )
 
         from rtvc_tpu.inference import encoder as enc_api
         from rtvc_tpu.inference import synthesizer as syn_api
@@ -457,6 +618,42 @@ def main():
              mel_cepstral_distortion(gt_wav, gl_wav, sp, preprocessing),
              unit="dB", utt=utt_id)
 
+        # ---- capability metrics (tpu_budget tier) --------------------------
+        if attn_rows:
+            a, s = attn_rows["final"]
+            emit("attention_alignment", a,
+                 ref_gate=preprocessing.min_attention_alignment)
+            emit("attention_sharpness", s,
+                 ref_gate=preprocessing.min_attention_sharpness)
+            if "early" in attn_rows:
+                # tracked (ungated) evidence that alignment improves with
+                # training, per the round-4 verdict's task 6
+                emit("attention_alignment_early", attn_rows["early"][0],
+                     at_step=_tier()["taco"]["early"])
+        if T["capability_metrics"]:
+            emit("encoder_train_eer", _encoder_corpus_eer(root))
+
+        if T["capability_metrics"] and not FAST:
+            # gen_testset-style listening triplet + the clone itself
+            # (ref per-checkpoint quality practice, vocoder/gen_wavernn.py)
+            from rtvc_tpu.utils.io import save_wav_float
+
+            ARTIFACT_DIR.mkdir(parents=True, exist_ok=True)
+
+            def _save(name, w):
+                w = np.asarray(w, np.float32)
+                peak = float(np.abs(w).max())
+                if peak > 1.0:
+                    w = w / peak
+                save_wav_float(w, ARTIFACT_DIR / name, sp.sample_rate)
+
+            _save(f"{utt_id}_target.wav", gt_wav)
+            _save(f"{utt_id}_griffinlim.wav", gl_wav)
+            _save(f"{utt_id}_vocoded_gta.wav", recon)
+            _save("clone_p240_the_quick_brown_fox.wav", clone_wav)
+            print(json.dumps({"metric": "artifact_dir",
+                              "value": str(ARTIFACT_DIR)}), flush=True)
+
         # ---- TPU only: sampled f32-vs-bf16-stream divergence ---------------
         if jax.devices()[0].platform == "tpu":
             import jax.numpy as jnp
@@ -490,11 +687,27 @@ def main():
         gate = {"metric": "quality_gate",
                 "value": ("fail" if "fail" in statuses
                           else "warn" if "warn" in statuses else "pass"),
-                "n_metrics": len(results)}
+                "n_metrics": len(results), "corpus": corpus_used["tag"]}
         results.append(gate)
         print(json.dumps(gate), flush=True)
         if not FAST:  # fast mode: plumbing only, never record or gate
-            payload = "\n".join(json.dumps(r) for r in results) + "\n"
+            # merge with the other tier's committed rows (keyed by
+            # metric+corpus) so running one tier never clobbers the other's
+            # baseline; drop legacy corpus-less gate rows
+            def k(r):
+                return (r["metric"], r.get("corpus"))
+
+            old = []
+            try:
+                old = [json.loads(ln) for ln in
+                       PREV_PATH.read_text().splitlines() if ln.strip()]
+            except Exception:
+                pass
+            new_keys = {k(r) for r in results}
+            kept = [r for r in old if k(r) not in new_keys
+                    and not (r["metric"] == "quality_gate"
+                             and "corpus" not in r)]
+            payload = "\n".join(json.dumps(r) for r in kept + results) + "\n"
             if gate["value"] == "fail":
                 # Do NOT replace the baseline with the regressed rows —
                 # otherwise a simple re-run would gate against the
@@ -510,11 +723,11 @@ def main():
 
 
 def _voc_cfg_of():
-    """The tiny vocoder dims (shared with main's training config via
-    _VOC_TINY_DIMS — a second hand-written literal here once drifted)."""
+    """The active tier's vocoder dims (shared with main's training config
+    via _TIERS — a second hand-written literal here once drifted)."""
     from rtvc_tpu.config.vocoder import WaveRNNParams
 
-    return WaveRNNParams(**_VOC_TINY_DIMS)
+    return WaveRNNParams(**_tier()["voc"]["dims"])
 
 
 if __name__ == "__main__":

@@ -136,7 +136,8 @@ def _device_ttfa_tacotron(synth, voc, text, embed, first_frames=16,
         mel_chunk, *_ = dec_fn(variables, carry, prev, done, jnp.asarray(0),
                                enc_seq, enc_proj, char_mask, k_dec)
         wav, _, _ = pv_fn(variables, voc.variables, raw_hist, mel_chunk,
-                          post_hist, jax.random.fold_in(key, 1))
+                          post_hist, jax.random.fold_in(key, 1),
+                          jnp.asarray(n_frames, jnp.int32))
         return wav
 
     np.asarray(chain(0))  # warm + sync
