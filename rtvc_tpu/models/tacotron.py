@@ -290,6 +290,12 @@ def _prenet_nodrop(params: Dict, x: jax.Array, cdt) -> jax.Array:
     )
 
 
+# Residual-LSTM zoneout probability (ref: tacotron.py:250-254). Module
+# constant so the fused train kernel and the scan path share one source
+# of truth (tests pin parity by zeroing it).
+_ZONEOUT_P = 0.1
+
+
 def _decoder_recurrence(
     params: Dict,
     d: TacotronDims,
@@ -343,10 +349,12 @@ def _decoder_recurrence(
     x = jnp.concatenate([context_vec, attn_hidden], axis=1)
     x = mods["rnn_input"].apply({"params": params["rnn_input"]}, x)
 
-    def zoneout(key, prev, new, p=0.1):
+    def zoneout(key, prev, new, p=None):
         if not train:
             return new
-        mask = jax.random.bernoulli(key, p, prev.shape)
+        mask = jax.random.bernoulli(
+            key, _ZONEOUT_P if p is None else p, prev.shape
+        )
         return jnp.where(mask, prev, new)
 
     rnn1_hidden_next, rnn1_cell = lstm_cell_step(
@@ -461,6 +469,32 @@ def _postnet(
     return linear, new_stats
 
 
+def _hoisted_outputs(variables, d, params, mods, x_all, ctx_all, attn, r,
+                     n_iters, B, steps, train, k_post, new_stats, cdt):
+    """Shared tail of the hoisted/fused train paths: output projections
+    over the stacked decoder states (one big matmul each — mel_proj keeps
+    only columns j with j % max_r < r, slicing the weight rows instead of
+    computing-then-discarding), then reshape + postnet."""
+    keep = (
+        jnp.arange(d.n_mels)[:, None] * d.max_r + jnp.arange(r)
+    ).reshape(-1)
+    w_mel = params["mel_proj"]["weight"][keep]  # (n_mels*r, lstm_dims)
+    mel_steps = jnp.dot(
+        x_all, w_mel.T, preferred_element_type=cdt
+    ).reshape(n_iters, B, d.n_mels, r)
+    stop_in = jnp.concatenate([x_all, ctx_all.astype(x_all.dtype)], -1)
+    stops = jax.nn.sigmoid(
+        mods["stop_proj"].apply({"params": params["stop_proj"]}, stop_in)
+    )  # (n_iters, B, 1)
+    mel_out = jnp.moveaxis(mel_steps, 0, 2).reshape(B, d.n_mels, steps)
+    attn = jnp.swapaxes(attn, 0, 1)  # (B, n_iters, T_text)
+    stop_out = jnp.repeat(jnp.swapaxes(stops[..., 0], 0, 1), r, axis=1)
+    linear, post_stats = _postnet(variables, d, mel_out, train, k_post)
+    linear = jnp.swapaxes(linear, 1, 2)
+    new_stats.update(post_stats)
+    return mel_out, linear, attn, stop_out, new_stats
+
+
 def tacotron_forward(
     variables: Dict,
     d: TacotronDims,
@@ -472,6 +506,7 @@ def tacotron_forward(
     train: bool = True,
     prenet_dropout: bool = True,
     hoisted: bool | None = None,
+    fused: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, Dict]:
     """Teacher-forced pass (ref: tacotron.py:335-391).
 
@@ -546,6 +581,42 @@ def tacotron_forward(
         )  # (B, n_iters, 3H)
         w_ctx_t = w_ih[:, :ctx_dim].T
 
+        # Fused Pallas decoder chain (weights VMEM-resident across all
+        # steps; custom VJP — ops/pallas/tacotron_train_kernel.py). The
+        # serial attention+RNN chain is the stage's bound (BENCHMARKS.md
+        # batch-scaling curves); env RTVC_FUSED_TACO_TRAIN=1/0/auto.
+        if fused is None:
+            from rtvc_tpu.ops.pallas import tacotron_train_kernel as ttk
+
+            fused = ttk.fused_ok(d, ctx_dim)
+        if fused:
+            from rtvc_tpu.ops.pallas.tacotron_train_kernel import (
+                prepare_train_weights,
+                taco_decoder_train_fused,
+            )
+
+            L_ = d.lstm_dims
+            if train and _ZONEOUT_P > 0:
+                kz1, kz2 = jax.random.split(k_dec)
+                zo1 = jax.random.bernoulli(
+                    kz1, _ZONEOUT_P, (n_iters, B, L_)
+                ).astype(jnp.float32)
+                zo2 = jax.random.bernoulli(
+                    kz2, _ZONEOUT_P, (n_iters, B, L_)
+                ).astype(jnp.float32)
+            else:
+                zo1 = zo2 = jnp.zeros((n_iters, B, L_), jnp.float32)
+            prepared = prepare_train_weights(params, d, ctx_dim)
+            x_all, ctx_all, attn = taco_decoder_train_fused(
+                prepared, jnp.swapaxes(xg_pre, 0, 1), encoder_seq,
+                encoder_seq_proj, char_mask, jnp.zeros_like(char_mask),
+                zo1, zo2,
+            )
+            return _hoisted_outputs(
+                variables, d, params, mods, x_all, ctx_all, attn, r,
+                n_iters, B, steps, train, k_post, new_stats, cdt,
+            )
+
         def body(carry, inp):
             xg_p, key = inp
             _, k_zo1, k_zo2 = jax.random.split(key, 3)
@@ -563,20 +634,10 @@ def tacotron_forward(
             body, carry0, (jnp.swapaxes(xg_pre, 0, 1), step_keys),
             unroll=scan_unroll(),
         )
-        # Output projections over the stacked states — one big matmul
-        # each. mel_proj keeps only columns j with j % max_r < r; slice
-        # the weight rows instead of computing-then-discarding.
-        keep = (
-            jnp.arange(d.n_mels)[:, None] * d.max_r + jnp.arange(r)
-        ).reshape(-1)
-        w_mel = params["mel_proj"]["weight"][keep]  # (n_mels*r, lstm_dims)
-        mel_steps = jnp.dot(
-            x_all, w_mel.T, preferred_element_type=cdt
-        ).reshape(n_iters, B, d.n_mels, r)
-        stop_in = jnp.concatenate([x_all, ctx_all.astype(x_all.dtype)], -1)
-        stops = jax.nn.sigmoid(
-            mods["stop_proj"].apply({"params": params["stop_proj"]}, stop_in)
-        )  # (n_iters, B, 1)
+        return _hoisted_outputs(
+            variables, d, params, mods, x_all, ctx_all, attn, r,
+            n_iters, B, steps, train, k_post, new_stats, cdt,
+        )
     else:
         def body(carry, inp):
             prenet_in, key = inp
