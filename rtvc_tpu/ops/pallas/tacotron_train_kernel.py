@@ -94,7 +94,10 @@ def _tile_len() -> int:
 
 
 def _batch_tile() -> int:
-    return int(os.environ.get("RTVC_TACO_TRAIN_BTILE", "32"))
+    # 16 keeps the backward's per-batch-tile VMEM accumulators
+    # (denc_seq/denc_proj, (Bt, Tp, E/D) f32) inside the budget at the
+    # production point (B=112, T_text=160 → Tp=256, E=1024).
+    return int(os.environ.get("RTVC_TACO_TRAIN_BTILE", "16"))
 
 
 # ---------------------------------------------------------------------------
