@@ -135,6 +135,7 @@ class TestForwardParity:
             )
 
 
+@pytest.mark.slow  # interpret-mode VJP on CPU (~1 min) — full gate only
 class TestGradParity:
     def test_grads_match_scan_mirror(self, inputs):
         cot_seed = np.random.default_rng(7)
@@ -225,6 +226,7 @@ class TestIntegration:
         np.testing.assert_allclose(np.asarray(l_f), np.asarray(l_x),
                                    atol=1e-4)
 
+    @pytest.mark.slow  # interpret-mode VJP through the full model (~2 min)
     def test_fused_gradients_match_hoisted(self, monkeypatch):
         from rtvc_tpu.models import tacotron as taco
 
