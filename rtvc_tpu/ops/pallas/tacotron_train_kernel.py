@@ -154,19 +154,23 @@ def _fwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
 
             # --- LSA: windows(cum) @ mloc + query + memory ------------
             q = mm(ah, wq[:]) + bq[0]
-            cum = cum_s[0]  # (Bt, Tp + 32), taps live at [:, 16:16+Tp]
-            win = [cum[:, k + 1:k + 1 + Tp] for k in range(31)]
-            windows = jnp.stack(win + [jnp.zeros_like(win[0])], axis=2)
-            ploc = mm(windows.reshape(Bt * Tp, _KW), mloc[:]).reshape(
-                Bt, Tp, D
-            )
+            # LSA location term as 31 unrolled shifted outer-product adds
+            # (VPU; no sub-128-lane matmul shapes for Mosaic to trip on):
+            # ploc[b, t, :] = Σ_k cum[b, t + k − 15] · mloc[k, :]
+            cum = cum_s[0]  # (Bt, Tp)
+            zpad = jnp.zeros((Bt, 16), jnp.float32)
+            cp = jnp.concatenate([zpad, cum, zpad], axis=1)
+            ploc = jnp.zeros((Bt, Tp, D), jnp.float32)
+            for k in range(31):
+                ploc += cp[:, k + 1:k + 1 + Tp][:, :, None] \
+                    * mloc[k][None, None, :]
             tv = jnp.tanh(q[:, None, :] + enc_proj[0] + ploc)
             u = jnp.sum(tv * vv[0][None, None, :], axis=2)
             u = u * mmask[0] + amask[0]
             mx = jnp.max(u, axis=1, keepdims=True)
             e = jnp.exp(u - mx)
             scores = e / jnp.sum(e, axis=1, keepdims=True)
-            cum_s[0, :, 16:16 + Tp] = cum[:, 16:16 + Tp] + scores
+            cum_s[0] = cum + scores
             scores_ref[s] = scores
             ctx = jnp.sum(scores[:, :, None] * enc_seq[0], axis=1)
             ctx_s[0] = ctx
@@ -206,7 +210,7 @@ def _fwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             return 0
 
         jax.lax.fori_loop(0, S, step, 0)
-        cumT_ref[:] = cum_s[:, :, 16:16 + Tp]
+        cumT_ref[:] = cum_s[:]
 
     return kernel
 
@@ -225,7 +229,7 @@ def _bwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
         # state in
         cumT_ref,
         # resident
-        enc_seq, enc_proj, mmask, mloc_t, wq_t, gwh_t, gwi_ctx_t,
+        enc_seq, enc_proj, mmask, wq_t, gwh_t, gwi_ctx_t,
         wri_t, l1wi_t, l1wh_t, l2wi_t, l2wh_t, wq, bq, mloc, vv,
         # streams out
         dxg_ref, dq_ref, dx0_ref, dgates1_ref, dgates2_ref,
@@ -247,8 +251,7 @@ def _bwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             dc2_s[:] = jnp.zeros_like(dc2_s)
             dctx_s[:] = jnp.zeros_like(dctx_s)
             dcum_s[:] = jnp.zeros_like(dcum_s)
-            cum_s[:] = jnp.zeros_like(cum_s)
-            cum_s[0, :, 16:16 + Tp] = cumT_ref[0]
+            cum_s[:] = cumT_ref[:]
             denc_seq_ref[:] = jnp.zeros_like(denc_seq_ref)
             denc_proj_ref[:] = jnp.zeros_like(denc_proj_ref)
             dv_ref[:] = jnp.zeros_like(dv_ref)
@@ -323,39 +326,34 @@ def _bwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             )
             du = du * mmask[0]
 
-            # recompute tv (cheap matmuls; cum_prev via reverse walk)
-            cum = cum_s[0]
-            cum_prev_t = cum[:, 16:16 + Tp] - scores
-            cum_s[0, :, 16:16 + Tp] = cum_prev_t
-            cum_prev = cum_s[0]
+            # recompute tv (cheap; cum_prev via reverse walk of the
+            # stored scores)
+            cum_prev = cum_s[0] - scores
+            cum_s[0] = cum_prev
             ah = ah_ref[s].astype(jnp.float32)
             q = mm(ah, wq[:]) + bq[0]
-            win = [cum_prev[:, k + 1:k + 1 + Tp] for k in range(31)]
-            windows = jnp.stack(win + [jnp.zeros_like(win[0])], axis=2)
-            ploc = mm(windows.reshape(Bt * Tp, _KW), mloc[:]).reshape(
-                Bt, Tp, D
-            )
+            zpad = jnp.zeros((Bt, 16), jnp.float32)
+            cp = jnp.concatenate([zpad, cum_prev, zpad], axis=1)
+            ploc = jnp.zeros((Bt, Tp, D), jnp.float32)
+            for k in range(31):
+                ploc += cp[:, k + 1:k + 1 + Tp][:, :, None] \
+                    * mloc[k][None, None, :]
             tv = jnp.tanh(q[:, None, :] + enc_proj[0] + ploc)
             dv_ref[0, 0:1] += jnp.sum(du[:, :, None] * tv, axis=(0, 1))[None]
             darg = du[:, :, None] * vv[0][None, None, :] * (1.0 - tv * tv)
             denc_proj_ref[0] += darg
             dq = jnp.sum(darg, axis=1)
             dq_ref[s] = dq
-            # contract over the (Bt·Tp) rows without materializing a
-            # transpose: dot_general with lhs/rhs both contracting dim 0
-            dmloc_ref[0] += jax.lax.dot_general(
-                windows.reshape(Bt * Tp, _KW), darg.reshape(Bt * Tp, D),
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dcum_prev from ploc: A = darg @ mloc^T, then the conv adjoint
-            # (31 static shifts of the tap windows)
-            A = mm(darg.reshape(Bt * Tp, D), mloc_t[:]).reshape(
-                Bt, Tp, _KW
-            )
+            # conv adjoints, unrolled over the 31 taps (VPU reductions):
+            #   dmloc[k, :] += Σ_{b,t} cum_prev[b, t+k−15] · darg[b, t, :]
+            #   dcum_prev[b, τ] += Σ_{k, d} darg[b, τ−k+15, d] · mloc[k, d]
             dcum_pad = jnp.zeros((Bt, Tp + 32), jnp.float32)
             for k in range(31):
-                dcum_pad = dcum_pad.at[:, k + 1:k + 1 + Tp].add(A[:, :, k])
+                dmloc_ref[0, k:k + 1] += jnp.sum(
+                    cp[:, k + 1:k + 1 + Tp][:, :, None] * darg, axis=(0, 1)
+                )[None]
+                s_k = jnp.sum(darg * mloc[k][None, None, :], axis=2)
+                dcum_pad = dcum_pad.at[:, k + 1:k + 1 + Tp].add(s_k)
             dcum_prev = dcum_s[0] + dcum_pad[:, 16:16 + Tp]
             dcum_s[0] = dcum_prev
 
@@ -436,7 +434,7 @@ def _call_fwd(xg, zo1, zo2, enc_seq, enc_proj, mmask, amask, weights,
         pltpu.VMEM((1, Bt, L), jnp.float32),        # r2h
         pltpu.VMEM((1, Bt, L), jnp.float32),        # r2c
         pltpu.VMEM((1, Bt, E), jnp.float32),        # ctx
-        pltpu.VMEM((1, Bt, Tp + 32), jnp.float32),  # cum (padded taps)
+        pltpu.VMEM((1, Bt, Tp), jnp.float32),       # cum
     ]
     outs = pl.pallas_call(
         _fwd_kernel(S, D, L, E, Tp),
@@ -481,7 +479,7 @@ def _call_bwd(dx2, dctx_ext, dsc_ext, res_streams, cumT,
               S, Bt, D, L, E, Tp, interpret):
     (ah, ahp, g4, gates1, c1, c1p, gates2, c2, c2p, scores,
      zo1, zo2) = res_streams
-    (mloc_t, wq_t, gwh_t, gwi_ctx_t, wri_t, l1wi_t, l1wh_t, l2wi_t,
+    (wq_t, gwh_t, gwi_ctx_t, wri_t, l1wi_t, l1wh_t, l2wi_t,
      l2wh_t, wq, bq, mloc, vv) = weights_b
     Np, Bp, _ = dx2.shape
     nT, nB = Np // S, Bp // Bt
@@ -496,7 +494,7 @@ def _call_bwd(dx2, dctx_ext, dsc_ext, res_streams, cumT,
         pltpu.VMEM((1, Bt, L), jnp.float32),        # dc2
         pltpu.VMEM((1, Bt, E), jnp.float32),        # dctx
         pltpu.VMEM((1, Bt, Tp), jnp.float32),       # dcum
-        pltpu.VMEM((1, Bt, Tp + 32), jnp.float32),  # cum reconstruct
+        pltpu.VMEM((1, Bt, Tp), jnp.float32),       # cum reconstruct
     ]
     enc4 = pl.BlockSpec((1, Bt, Tp, E), lambda b, t: (0, b, 0, 0),
                         memory_space=vmem)
@@ -652,7 +650,7 @@ def _bwd_vjp(interpret, res, cot):
     c2p = jnp.concatenate([zl, c2[:-1]], axis=0)
 
     weights_b = (
-        jnp.swapaxes(mloc, 0, 1), jnp.swapaxes(wq, 0, 1),
+        jnp.swapaxes(wq, 0, 1),
         jnp.swapaxes(gwh, 0, 1), jnp.swapaxes(gwi_ctx, 0, 1),
         jnp.swapaxes(wri, 0, 1), jnp.swapaxes(l1wi, 0, 1),
         jnp.swapaxes(l1wh, 0, 1), jnp.swapaxes(l2wi, 0, 1),
