@@ -152,27 +152,31 @@ def _fwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             ah_ref[s] = ah
             g4_ref[s] = jnp.concatenate([r, z, n, hn], axis=1)
 
-            # --- LSA: windows(cum) @ mloc + query + memory ------------
-            q = mm(ah, wq[:]) + bq[0]
-            # LSA location term as 31 unrolled shifted outer-product adds
-            # (VPU; no sub-128-lane matmul shapes for Mosaic to trip on):
+            # --- LSA: shifted-tap location term + query + memory ------
+            # Score-shaped tensors (cum/scores/masks) live in a
+            # (Bt, Tp, 1) layout — T on SUBLANES, unit lane — so each of
+            # the 31 taps is a sublane slice + lane broadcast and the
+            # softmax is a sublane reduction. Mosaic has no lane↔sublane
+            # relayout, so the (Bt, Tp)-lane formulation (broadcasting
+            # cum slices over D) cannot lower; this one never transposes.
             # ploc[b, t, :] = Σ_k cum[b, t + k − 15] · mloc[k, :]
-            cum = cum_s[0]  # (Bt, Tp)
-            zpad = jnp.zeros((Bt, 16), jnp.float32)
+            q = mm(ah, wq[:]) + bq[0]
+            cum = cum_s[0]  # (Bt, Tp, 1)
+            zpad = jnp.zeros((Bt, 16, 1), jnp.float32)
             cp = jnp.concatenate([zpad, cum, zpad], axis=1)
             ploc = jnp.zeros((Bt, Tp, D), jnp.float32)
             for k in range(31):
-                ploc += cp[:, k + 1:k + 1 + Tp][:, :, None] \
+                ploc += cp[:, k + 1:k + 1 + Tp, :] \
                     * mloc[k][None, None, :]
             tv = jnp.tanh(q[:, None, :] + enc_proj[0] + ploc)
-            u = jnp.sum(tv * vv[0][None, None, :], axis=2)
+            u = jnp.sum(tv * vv[0][None, None, :], axis=2, keepdims=True)
             u = u * mmask[0] + amask[0]
             mx = jnp.max(u, axis=1, keepdims=True)
             e = jnp.exp(u - mx)
-            scores = e / jnp.sum(e, axis=1, keepdims=True)
+            scores = e / jnp.sum(e, axis=1, keepdims=True)  # (Bt, Tp, 1)
             cum_s[0] = cum + scores
             scores_ref[s] = scores
-            ctx = jnp.sum(scores[:, :, None] * enc_seq[0], axis=1)
+            ctx = jnp.sum(scores * enc_seq[0], axis=1)
             ctx_s[0] = ctx
             ctx_ref[s] = ctx
 
@@ -316,10 +320,13 @@ def _bwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             dah_tot = dah_s[0] + dcat[:, E:]
 
             # --- attention --------------------------------------------
-            scores = scores_ref[s].astype(jnp.float32)
-            denc_seq_ref[0] += scores[:, :, None] * dctx_all[:, None, :]
+            # Same (Bt, Tp, 1) sublane layout for score-shaped tensors
+            # as the forward (Mosaic cannot relayout lanes↔sublanes).
+            scores = scores_ref[s].astype(jnp.float32)  # (Bt, Tp, 1)
+            denc_seq_ref[0] += scores * dctx_all[:, None, :]
             dscores = dsc_ext_ref[s].astype(jnp.float32) + dcum_s[0] \
-                + jnp.sum(dctx_all[:, None, :] * enc_seq[0], axis=2)
+                + jnp.sum(dctx_all[:, None, :] * enc_seq[0], axis=2,
+                          keepdims=True)
             # softmax VJP, then the reference's multiplicative char mask
             du = scores * (
                 dscores - jnp.sum(dscores * scores, axis=1, keepdims=True)
@@ -332,29 +339,34 @@ def _bwd_kernel(S: int, D: int, L: int, E: int, Tp: int):
             cum_s[0] = cum_prev
             ah = ah_ref[s].astype(jnp.float32)
             q = mm(ah, wq[:]) + bq[0]
-            zpad = jnp.zeros((Bt, 16), jnp.float32)
+            zpad = jnp.zeros((Bt, 16, 1), jnp.float32)
             cp = jnp.concatenate([zpad, cum_prev, zpad], axis=1)
             ploc = jnp.zeros((Bt, Tp, D), jnp.float32)
             for k in range(31):
-                ploc += cp[:, k + 1:k + 1 + Tp][:, :, None] \
+                ploc += cp[:, k + 1:k + 1 + Tp, :] \
                     * mloc[k][None, None, :]
             tv = jnp.tanh(q[:, None, :] + enc_proj[0] + ploc)
-            dv_ref[0, 0:1] += jnp.sum(du[:, :, None] * tv, axis=(0, 1))[None]
-            darg = du[:, :, None] * vv[0][None, None, :] * (1.0 - tv * tv)
+            dv_ref[0, 0:1] += jnp.sum(du * tv, axis=(0, 1))[None]
+            darg = du * vv[0][None, None, :] * (1.0 - tv * tv)
             denc_proj_ref[0] += darg
             dq = jnp.sum(darg, axis=1)
             dq_ref[s] = dq
             # conv adjoints, unrolled over the 31 taps (VPU reductions):
             #   dmloc[k, :] += Σ_{b,t} cum_prev[b, t+k−15] · darg[b, t, :]
-            #   dcum_prev[b, τ] += Σ_{k, d} darg[b, τ−k+15, d] · mloc[k, d]
-            dcum_pad = jnp.zeros((Bt, Tp + 32), jnp.float32)
+            #   dcum_prev[b, τ] += Σ_k s_k[b, τ+15−k]
+            # Scatter-free (Mosaic has no scatter-add lowering): each s_k
+            # is zero-extended by concatenation — like cp — and the shift
+            # becomes a static sublane-slice READ of that value.
+            dcum_acc = jnp.zeros((Bt, Tp, 1), jnp.float32)
             for k in range(31):
                 dmloc_ref[0, k:k + 1] += jnp.sum(
-                    cp[:, k + 1:k + 1 + Tp][:, :, None] * darg, axis=(0, 1)
+                    cp[:, k + 1:k + 1 + Tp, :] * darg, axis=(0, 1)
                 )[None]
-                s_k = jnp.sum(darg * mloc[k][None, None, :], axis=2)
-                dcum_pad = dcum_pad.at[:, k + 1:k + 1 + Tp].add(s_k)
-            dcum_prev = dcum_s[0] + dcum_pad[:, 16:16 + Tp]
+                s_k = jnp.sum(darg * mloc[k][None, None, :], axis=2,
+                              keepdims=True)
+                s_pad = jnp.concatenate([zpad, s_k, zpad], axis=1)
+                dcum_acc = dcum_acc + s_pad[:, 31 - k:31 - k + Tp, :]
+            dcum_prev = dcum_s[0] + dcum_acc
             dcum_s[0] = dcum_prev
 
             # --- attention GRU ----------------------------------------
@@ -408,11 +420,26 @@ def _specs(pl, vmem, S, Bt, nT):
         return pl.BlockSpec((1, Bt, width), lambda b, t: (0, b, 0),
                             memory_space=vmem)
 
+    # score-shaped (…, Tp, 1) variants — T on sublanes, unit lane (the
+    # layout the kernels keep cum/scores/masks in; see _fwd_kernel)
+    def stream4(width):
+        return pl.BlockSpec((S, Bt, width, 1), lambda b, t: (t, b, 0, 0),
+                            memory_space=vmem)
+
+    def rstream4(width):
+        return pl.BlockSpec((S, Bt, width, 1),
+                            lambda b, t: (nT - 1 - t, b, 0, 0),
+                            memory_space=vmem)
+
+    def tile4(width):
+        return pl.BlockSpec((1, Bt, width, 1), lambda b, t: (0, b, 0, 0),
+                            memory_space=vmem)
+
     def const(shape):
         return pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                             memory_space=vmem)
 
-    return stream, rstream, tile3, const
+    return stream, rstream, tile3, stream4, rstream4, tile4, const
 
 
 @functools.partial(
@@ -425,7 +452,7 @@ def _call_fwd(xg, zo1, zo2, enc_seq, enc_proj, mmask, amask, weights,
     Np, Bp, _ = xg.shape
     nT, nB = Np // S, Bp // Bt
     pl, pltpu, vmem, kwargs = _plumbing(interpret)
-    stream, _, tile3, const = _specs(pl, vmem, S, Bt, nT)
+    stream, _, tile3, stream4, _, tile4, const = _specs(pl, vmem, S, Bt, nT)
 
     scratch = [
         pltpu.VMEM((1, Bt, D), jnp.float32),        # ah
@@ -434,7 +461,7 @@ def _call_fwd(xg, zo1, zo2, enc_seq, enc_proj, mmask, amask, weights,
         pltpu.VMEM((1, Bt, L), jnp.float32),        # r2h
         pltpu.VMEM((1, Bt, L), jnp.float32),        # r2c
         pltpu.VMEM((1, Bt, E), jnp.float32),        # ctx
-        pltpu.VMEM((1, Bt, Tp), jnp.float32),       # cum
+        pltpu.VMEM((1, Bt, Tp, 1), jnp.float32),    # cum
     ]
     outs = pl.pallas_call(
         _fwd_kernel(S, D, L, E, Tp),
@@ -444,11 +471,11 @@ def _call_fwd(xg, zo1, zo2, enc_seq, enc_proj, mmask, amask, weights,
                                memory_space=vmem),
                   pl.BlockSpec((1, Bt, Tp, D), lambda b, t: (0, b, 0, 0),
                                memory_space=vmem),
-                  tile3(Tp), tile3(Tp),
+                  tile4(Tp), tile4(Tp),
                   *[const(w.shape) for w in weights]],
         out_specs=[stream(D), stream(4 * D), stream(L), stream(4 * L),
                    stream(L), stream(L), stream(4 * L), stream(L),
-                   stream(L), stream(Tp), stream(E), tile3(Tp)],
+                   stream(L), stream4(Tp), stream(E), tile4(Tp)],
         out_shape=[
             jax.ShapeDtypeStruct((Np, Bp, D), jnp.float32),      # ah
             jax.ShapeDtypeStruct((Np, Bp, 4 * D), jnp.float32),  # g4
@@ -459,9 +486,9 @@ def _call_fwd(xg, zo1, zo2, enc_seq, enc_proj, mmask, amask, weights,
             jax.ShapeDtypeStruct((Np, Bp, 4 * L), jnp.float32),  # gates2
             jax.ShapeDtypeStruct((Np, Bp, L), jnp.float32),      # c2
             jax.ShapeDtypeStruct((Np, Bp, L), jnp.float32),      # h2
-            jax.ShapeDtypeStruct((Np, Bp, Tp), jnp.float32),     # scores
+            jax.ShapeDtypeStruct((Np, Bp, Tp, 1), jnp.float32),  # scores
             jax.ShapeDtypeStruct((Np, Bp, E), jnp.float32),      # ctx
-            jax.ShapeDtypeStruct((1, Bp, Tp), jnp.float32),      # cum_T
+            jax.ShapeDtypeStruct((1, Bp, Tp, 1), jnp.float32),   # cum_T
         ],
         scratch_shapes=scratch,
         interpret=interpret,
@@ -484,7 +511,8 @@ def _call_bwd(dx2, dctx_ext, dsc_ext, res_streams, cumT,
     Np, Bp, _ = dx2.shape
     nT, nB = Np // S, Bp // Bt
     pl, pltpu, vmem, kwargs = _plumbing(interpret)
-    _, rstream, tile3, const = _specs(pl, vmem, S, Bt, nT)
+    (_, rstream, tile3, _, rstream4, tile4, const) = _specs(
+        pl, vmem, S, Bt, nT)
 
     scratch = [
         pltpu.VMEM((1, Bt, D), jnp.float32),        # dah
@@ -493,8 +521,8 @@ def _call_bwd(dx2, dctx_ext, dsc_ext, res_streams, cumT,
         pltpu.VMEM((1, Bt, L), jnp.float32),        # dh2
         pltpu.VMEM((1, Bt, L), jnp.float32),        # dc2
         pltpu.VMEM((1, Bt, E), jnp.float32),        # dctx
-        pltpu.VMEM((1, Bt, Tp), jnp.float32),       # dcum
-        pltpu.VMEM((1, Bt, Tp), jnp.float32),       # cum reconstruct
+        pltpu.VMEM((1, Bt, Tp, 1), jnp.float32),    # dcum
+        pltpu.VMEM((1, Bt, Tp, 1), jnp.float32),    # cum reconstruct
     ]
     enc4 = pl.BlockSpec((1, Bt, Tp, E), lambda b, t: (0, b, 0, 0),
                         memory_space=vmem)
@@ -503,12 +531,12 @@ def _call_bwd(dx2, dctx_ext, dsc_ext, res_streams, cumT,
     outs = pl.pallas_call(
         _bwd_kernel(S, D, L, E, Tp),
         grid=(nB, nT),
-        in_specs=[rstream(L), rstream(E), rstream(Tp),
+        in_specs=[rstream(L), rstream(E), rstream4(Tp),
                   rstream(D), rstream(D), rstream(4 * D), rstream(4 * L),
                   rstream(L), rstream(L), rstream(4 * L), rstream(L),
-                  rstream(L), rstream(Tp), rstream(L), rstream(L),
-                  tile3(Tp),
-                  enc4, encp4, tile3(Tp),
+                  rstream(L), rstream4(Tp), rstream(L), rstream(L),
+                  tile4(Tp),
+                  enc4, encp4, tile4(Tp),
                   *[const(w.shape) for w in weights_b]],
         out_specs=[rstream(4 * D), rstream(D), rstream(L), rstream(4 * L),
                    rstream(4 * L),
@@ -601,17 +629,18 @@ def _fwd_rule(weights, xg_pre, enc_seq, enc_proj, char_mask, amask,
         enc_seq.astype(jnp.float32))
     ep = jnp.zeros((Bp, Tp, D), jnp.float32).at[:B, :T].set(
         enc_proj.astype(jnp.float32))
+    # score-shaped tensors travel in the kernels' (…, Tp, 1) layout
     mm_ = jnp.zeros((Bp, Tp), jnp.float32).at[:B, :T].set(
-        char_mask.astype(jnp.float32))
+        char_mask.astype(jnp.float32))[..., None]
     am = jnp.full((Bp, Tp), -1e30, jnp.float32).at[:B, :T].set(
-        amask.astype(jnp.float32))
+        amask.astype(jnp.float32))[..., None]
 
     outs = _call_fwd(xg, z1, z2, es, ep, mm_, am, weights,
                      S=S, Bt=Bt, D=D, L=L, E=E, Tp=Tp, interpret=interpret)
     (ah, g4, x0, gates1, c1, h1, gates2, c2, h2, scores, ctx, cumT) = outs
     x_all = (x0 + h1 + h2)[:n, :B]
     ctx_all = ctx[:n, :B]
-    scores_all = scores[:n, :B, :T]
+    scores_all = scores[:n, :B, :T, 0]
     res = (weights, xg, z1, z2, es, ep, mm_, ah, g4, x0, gates1, c1, h1,
            gates2, c2, h2, scores, ctx, cumT, n, B, T,
            xg_pre[:0, :0, :0], enc_seq[:0, :0, :0])
@@ -641,7 +670,7 @@ def _bwd_vjp(interpret, res, cot):
     dx2 = _pad_tb(dx_all.astype(jnp.float32), Np, Bp)
     dce = _pad_tb(dctx_all.astype(jnp.float32), Np, Bp)
     dse = jnp.zeros((Np, Bp, Tp), jnp.float32).at[:n, :B, :T].set(
-        dscores_all.astype(jnp.float32))
+        dscores_all.astype(jnp.float32))[..., None]
 
     zeros_row = jnp.zeros((1, Bp, ah.shape[2]), jnp.float32)
     ahp = jnp.concatenate([zeros_row, ah[:-1]], axis=0)
