@@ -12,12 +12,35 @@ import json
 from pathlib import Path
 from typing import Dict, Iterator, List, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
 from rtvc_tpu.config import sp
 from rtvc_tpu.config.vocoder import MODE_MOL, WaveRNNParams
-from rtvc_tpu.ops import audio as audio_ops
+
+
+# Host-side (numpy) mirrors of ops/audio.py's preemphasis / float_2_label /
+# encode_mu_law. The loader runs per item on the host thread; routing these
+# through jnp dispatches 2-3 device round-trips PER UTTERANCE (≈30 ms each
+# over the TPU relay), which throttled vocoder training to ~1 step/s while
+# the train step itself ran at 40 ms. Same math, numpy, zero dispatches.
+
+
+def _pre_emphasis_np(wav: np.ndarray, k: float) -> np.ndarray:
+    """FIR y[n] = x[n] - k·x[n-1] (ops/audio.py:32-34)."""
+    return np.concatenate([wav[:1], wav[1:] - k * wav[:-1]])
+
+
+def _float_2_label_np(x: np.ndarray, bits: int) -> np.ndarray:
+    """Float [-1, 1] → label [0, 2^bits - 1] (ops/audio.py:318-321)."""
+    y = (x + 1.0) * (2.0**bits - 1.0) / 2.0
+    return np.clip(y, 0.0, 2.0**bits - 1.0)
+
+
+def _encode_mu_law_np(x: np.ndarray, mu: int) -> np.ndarray:
+    """Mu-law companding → integer labels (ops/audio.py:324-328)."""
+    m = mu - 1
+    fx = np.sign(x) * np.log1p(m * np.abs(x)) / np.log1p(np.float32(m))
+    return np.floor((fx + 1.0) / 2.0 * m + 0.5)
 
 
 class VocoderDataset:
@@ -55,7 +78,7 @@ class VocoderDataset:
 
         wav = np.load(wav_path)
         if sp.preemphasis:
-            wav = np.asarray(audio_ops.pre_emphasis(jnp.asarray(wav), sp.preemphasis))
+            wav = _pre_emphasis_np(wav, sp.preemphasis)
         wav = np.clip(wav, -1, 1)
 
         # Pad to a hop multiple covering all mel frames (ref: :46-51)
@@ -66,15 +89,11 @@ class VocoderDataset:
 
         # Quantize (ref: :53-60)
         if self.hp.mode == MODE_MOL:
-            quant = np.asarray(audio_ops.float_2_label(jnp.asarray(wav), bits=16))
+            quant = _float_2_label_np(wav, bits=16)
         elif self.hp.mu_law:
-            quant = np.asarray(
-                audio_ops.encode_mu_law(jnp.asarray(wav), mu=2**self.hp.bits)
-            )
+            quant = _encode_mu_law_np(wav, mu=2**self.hp.bits)
         else:
-            quant = np.asarray(
-                audio_ops.float_2_label(jnp.asarray(wav), bits=self.hp.bits)
-            )
+            quant = _float_2_label_np(wav, bits=self.hp.bits)
         return mel.astype(np.float32), quant.astype(np.int64), index
 
     def get_logs(self) -> str:
