@@ -83,7 +83,10 @@ def make_optimizer(lr: float = 1e-4) -> optax.GradientTransformation:
 
 
 def set_lr(opt_state, lr: float):
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    # host scalar, not jnp.asarray: the leaf is re-set every step and a
+    # device constant would cost a relay dispatch per step; jit transfers
+    # the numpy scalar with the step's arguments instead
+    opt_state.hyperparams["learning_rate"] = np.float32(lr)
     return opt_state
 
 
@@ -217,10 +220,10 @@ def train_encoder(
     time_window = ValueWindow(100)
     last_metrics: Dict[str, Any] = {}
 
+    t_last = time.perf_counter()
     for batch in data_iterator:
         if total_steps is not None and step >= total_steps:
             break
-        t0 = time.perf_counter()
         profiler.tick("data fetch")
         if dp_mesh is not None:
             from rtvc_tpu.parallel import distributed as dist
@@ -229,13 +232,20 @@ def train_encoder(
         else:
             inputs = jnp.asarray(batch)
         params, opt_state, stats, sim, embeds = step_fn(params, opt_state, inputs)
-        loss = float(stats["loss"])
+        # ONE packed transfer for every logged scalar (each float() is a
+        # separate ~30 ms round-trip through the TPU relay)
+        sv = np.asarray(jnp.stack([stats["loss"], stats["grad_norm"]]))
+        loss = float(sv[0])
         profiler.tick("forward+backward+step")
         step += 1
         loss_window.append(loss)
-        time_window.append(time.perf_counter() - t0)
+        # wall time per step (data + step + logging), not just the step —
+        # the printed steps/s must match observed wall progress
+        now = time.perf_counter()
+        time_window.append(now - t_last)
+        t_last = now
 
-        logged = {"loss": loss, "grad_norm": float(stats["grad_norm"])}
+        logged = {"loss": loss, "grad_norm": float(sv[1])}
         if dp_mesh is not None:
             from rtvc_tpu.parallel.distributed import fetch
         else:
@@ -363,23 +373,37 @@ def train_synthesizer(
         step_fn = _make_syn_step(model_type, bundle, optimizer, r,
                                  dp_mesh, compute_dtype=compute_dtype)
 
+        # All step keys for the session in ONE device call + transfer
+        # (a per-step jax.random.split costs a relay round-trip per step)
+        rng, session_rng = jax.random.split(rng)
+        step_keys = np.asarray(jax.random.split(session_rng, session_steps))
+
         done = False
+        t_last = time.perf_counter()
         for epoch in range(n_epochs):
             for batch in epoch_batches(session_idx, r):
                 lr = linear_session_lr(
                     init_lr, end_lr, step - session_start_step, session_steps
                 )
                 opt_state = set_lr(opt_state, lr)
-                rng, sub = jax.random.split(rng)
-                t0 = time.perf_counter()
+                sub = step_keys[step - session_start_step]
                 variables, opt_state, stats = step_fn(
                     variables, opt_state, batch, sub
                 )
-                loss = float(stats["loss"])
+                # ONE packed transfer for all logged scalars (per-scalar
+                # float() is a separate relay round-trip each)
+                names = list(stats)
+                vals = np.asarray(jnp.stack([stats[k] for k in names]))
+                floats = dict(zip(names, (float(v) for v in vals)))
+                loss = floats["loss"]
                 step += 1
                 loss_window.append(loss)
-                time_window.append(time.perf_counter() - t0)
-                metrics.log(step, {k: float(v) for k, v in stats.items()})
+                # wall time (data + step + logging) so printed steps/s
+                # matches observed progress
+                now = time.perf_counter()
+                time_window.append(now - t_last)
+                t_last = now
+                metrics.log(step, floats)
                 last_stats = stats
                 stream(
                     "Session %d | Step %d | lr %.2e | loss %.4f (avg %.4f) | %.2f steps/s "
@@ -576,6 +600,7 @@ def train_vocoder(
         )
 
         done = False
+        t_last = time.perf_counter()
         for epoch in range(n_epochs):
             for batch in epoch_batches(session_idx):
                 if step - session_start_step >= session_steps:
@@ -584,7 +609,6 @@ def train_vocoder(
                     init_lr, end_lr, step - session_start_step, session_steps
                 )
                 opt_state = set_lr(opt_state, lr)
-                t0 = time.perf_counter()
                 params, stats_tree, opt_state, out = raw_step(
                     variables["params"], variables["batch_stats"], opt_state,
                     {
@@ -622,7 +646,10 @@ def train_vocoder(
                     )
 
                 loss_window.append(loss)
-                time_window.append(time.perf_counter() - t0)
+                # wall time (data + step + logging), matching observed rate
+                now = time.perf_counter()
+                time_window.append(now - t_last)
+                t_last = now
                 metrics.log(step, {"loss": loss, "lr": lr,
                                    "pruned": prune_info[0]})
                 last_stats = {"loss": loss}
