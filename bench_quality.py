@@ -80,6 +80,10 @@ _TIERS = {
     "default": dict(
         tag="real_speech_v2",
         enc=dict(hidden=64, steps=100, lr=1e-3, spk=2, utts=3, frames=80),
+        # decode fold geometry — historical value, keeps the tier's
+        # committed numbers byte-comparable across rounds
+        gen=dict(target=400, overlap=150),
+        augment_speeds=(),
         taco=dict(
             hp=dict(embed_dims=32, encoder_dims=16, decoder_dims=32,
                     postnet_dims=16, encoder_K=4, lstm_dims=32, postnet_K=4,
@@ -90,8 +94,20 @@ _TIERS = {
         capability_metrics=False,
     ),
     "tpu_budget": dict(
-        tag="real_speech_tpu_v1",
-        enc=dict(hidden=256, steps=3000, lr=1e-3, spk=3, utts=3, frames=120),
+        # v2: the v1 run (2026-08-19) exposed two budget-design failures —
+        # 3000 GE2E steps on 3 speakers collapsed the embedding space to
+        # ReLU one-hot corners (diff-speaker floor 0.0003, clone cosine
+        # exactly 0.0 — unreadable), and the 400/150 decode fold reset the
+        # AR state ~80×/2 s. v2 widens the corpus with speed-perturbed
+        # pseudo-speakers (a standard speaker-aug trick: resampling shifts
+        # pitch+formants → genuinely new voices), trims the encoder budget,
+        # and decodes with production-scale folds (ref
+        # fatchord_version.py:174 uses 11000/550).
+        tag="real_speech_tpu_v2",
+        # spk=6 of the 9 augmented speakers per GE2E batch: the contrastive
+        # term sees 5 impostors per anchor instead of 2 (collapse pressure
+        # scales with how easy the separation problem is)
+        enc=dict(hidden=256, steps=1500, lr=1e-3, spk=6, utts=3, frames=120),
         taco=dict(
             hp=dict(embed_dims=256, encoder_dims=128, decoder_dims=256,
                     postnet_dims=128, encoder_K=8, lstm_dims=384, postnet_K=8,
@@ -104,6 +120,8 @@ _TIERS = {
                       seq_len=200 * 5),
             steps=8000, batch=8, lr=(1e-3, 3e-4),
         ),
+        gen=dict(target=8000, overlap=800),
+        augment_speeds=(0.9, 1.1),
         capability_metrics=True,
     ),
 }
@@ -140,17 +158,29 @@ def build_corpus(root: Path) -> str:
     try:
         from rtvc_tpu.utils.io import load_wav, sample_path
 
+        # tpu_budget tier: widen the 3-file corpus with speed-perturbed
+        # pseudo-speakers (linear-interp resampling shifts pitch AND
+        # formants — a genuinely different voice, the standard GE2E
+        # speaker-augmentation trick). Keeps the embedding space from
+        # collapsing to one-hot ReLU corners at overfit budgets, and gives
+        # the Tacotron 3x the attention-learning data. spk0..2 stay the
+        # unperturbed real speakers (metric paths reference them by name).
+        speeds = (1.0,) + tuple(_tier().get("augment_speeds", ()))
         speakers = {}
-        for s, name in enumerate(
-            ("p240_00000.mp3", "1320_00000.mp3", "3575_00000.mp3")
-        ):
-            wav, _ = load_wav(sample_path(name), target_sr=sr)
-            wav = wav / max(float(np.abs(wav).max()), 1e-9) * 0.8
-            seg = 2 * sr
-            utts = [wav[i : i + seg] for i in range(0, len(wav) - seg + 1, seg)]
-            if len(utts) < 3:  # speakers need ≥3 utterances for GE2E crops
-                utts.append(wav[-seg:])
-            speakers[f"spk{s}"] = utts[:4]
+        sources = ("p240_00000.mp3", "1320_00000.mp3", "3575_00000.mp3")
+        for v, speed in enumerate(speeds):
+            for s, name in enumerate(sources):
+                wav, _ = load_wav(sample_path(name), target_sr=sr)
+                if speed != 1.0:
+                    t = np.arange(0, len(wav) - 1, speed)
+                    wav = np.interp(t, np.arange(len(wav)), wav)
+                wav = wav / max(float(np.abs(wav).max()), 1e-9) * 0.8
+                seg = 2 * sr
+                utts = [wav[i : i + seg]
+                        for i in range(0, len(wav) - seg + 1, seg)]
+                if len(utts) < 3:  # speakers need ≥3 utterances for GE2E
+                    utts.append(wav[-seg:])
+                speakers[f"spk{v * len(sources) + s}"] = utts[:4]
         for spk, utts in speakers.items():
             d = root / "datasets" / "Tiny" / "speakers" / spk
             d.mkdir(parents=True)
@@ -543,16 +573,31 @@ def main():
                 target_sr=sp.sample_rate,
             )
         prompt_embed = enc_api.embed_utterance(prompt_wav)
-        [mel] = synth.synthesize_spectrograms(
-            ["the quick brown fox"], [prompt_embed], seed=3
-        )
-        clone_wav = voc_api.infer_waveform(mel, target=400, overlap=150)
-        clone_embed = enc_api.embed_utterance(
-            enc_api.preprocess_wav(clone_wav.astype(np.float32),
-                                   source_sr=sp.sample_rate)
-        )
-        emit("clone_embed_cosine", float(np.dot(prompt_embed, clone_embed)),
+        gen = T["gen"]
+
+        def clone_once(seed):
+            [m] = synth.synthesize_spectrograms(
+                ["the quick brown fox"], [prompt_embed], seed=seed
+            )
+            w = voc_api.infer_waveform(m, target=gen["target"],
+                                       overlap=gen["overlap"])
+            e = enc_api.embed_utterance(
+                enc_api.preprocess_wav(w.astype(np.float32),
+                                       source_sr=sp.sample_rate)
+            )
+            return w, float(np.dot(prompt_embed, e))
+
+        clone_wav, clone_cos = clone_once(3)
+        emit("clone_embed_cosine", clone_cos,
              prompt="p240_00000.mp3" if prompt_path.exists() else "synthetic")
+        if T["capability_metrics"]:
+            # the reference toolbox's own practice: re-synthesize over seeds
+            # and keep the best-cosine take (autotune,
+            # ref toolbox/toolbox.py:413-473)
+            takes = [(clone_wav, clone_cos)] + [clone_once(s)
+                                                for s in (4, 5, 6, 7)]
+            clone_wav, best = max(takes, key=lambda t: t[1])
+            emit("clone_embed_cosine_autotune", best, n_takes=len(takes))
 
         # Anchors that make the absolute cosine readable against THIS
         # tiny-budget encoder (the toolbox autotune metric is read against
@@ -585,7 +630,8 @@ def main():
         gta_mel = np.load(voc_dir / "mels_gta" / f"{utt_id}.npy")  # (T, 80)
         gt_wav = np.load(syn_dir / "wav" / f"audio-{utt_id}.npy")
         recon = voc_api.infer_waveform(gta_mel.T, normalize=True,
-                                       target=400, overlap=150)
+                                       target=gen["target"],
+                                       overlap=gen["overlap"])
         mcd = mel_cepstral_distortion(gt_wav, recon, sp, preprocessing)
         emit("gta_vocoded_mcd", mcd, unit="dB", utt=utt_id)
 
@@ -595,7 +641,8 @@ def main():
         if gt_mel.shape[0] != 80:
             gt_mel = gt_mel.T
         recon_gt = voc_api.infer_waveform(gt_mel, normalize=True,
-                                          target=400, overlap=150)
+                                          target=gen["target"],
+                                          overlap=gen["overlap"])
         emit("gt_vocoded_mcd",
              mel_cepstral_distortion(gt_wav, recon_gt, sp, preprocessing),
              unit="dB", utt=utt_id)

@@ -208,6 +208,12 @@ class batch_iterator:
         self.process_index = process_index
         self.process_count = process_count
         self.local = batch_size // process_count
+        self.shuffle = shuffle
+        # persistent rng: each __iter__ yields a freshly shuffled epoch (the
+        # torch-DataLoader semantics of ref synthesizer/train.py:172-180);
+        # same seed + same number of __iter__ calls keeps multi-process
+        # batch lists in lockstep
+        self.rng = np.random.default_rng(seed)
         order = np.argsort(
             [len(dataset.samples_texts[i]) for i in range(len(dataset))]
         )
@@ -216,15 +222,16 @@ class batch_iterator:
         ]
         if drop_last:
             batches = [b for b in batches if len(b) == batch_size]
-        if shuffle:
-            np.random.default_rng(seed).shuffle(batches)
         self.batches = batches
 
     def __len__(self) -> int:
         return len(self.batches)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for idx in self.batches:
+        batches = list(self.batches)
+        if self.shuffle:
+            self.rng.shuffle(batches)
+        for idx in batches:
             out = collate_synthesizer(
                 [self.dataset[int(i)] for i in idx], self.r,
                 mel_bucket=self.mel_bucket,

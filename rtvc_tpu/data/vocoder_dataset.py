@@ -139,7 +139,17 @@ def collate_vocoder(
 
 
 class batch_iterator:
-    """Sized lazy epoch iterator (len known upfront, batches built on demand)."""
+    """Sized lazy epoch iterable (len known upfront, batches built on demand).
+
+    Each ``__iter__`` call yields a FRESH epoch: a new shuffle order and new
+    random crop offsets drawn from the persistent rng — the torch-DataLoader
+    semantics the reference trains with (ref: vocoder/train.py:126-133, a
+    DataLoader whose sampler/collate re-randomize every epoch). The trainer
+    constructs this once per session and iterates it once per epoch; feeding
+    it identical crops every epoch makes the model memorize a handful of
+    fixed windows instead of learning the mel→wave map (observed: CE ≈ 1 on
+    the fixed crops, CE ≈ chance-or-worse everywhere else, free-run MCD
+    ~34 dB)."""
 
     def __init__(
         self,
@@ -154,10 +164,13 @@ class batch_iterator:
     ):
         """``batch_size`` is the GLOBAL batch; with ``process_count`` > 1
         every process builds the same deterministic global batch list (same
-        seed required) and yields only its own contiguous slice of each —
-        the Accelerate per-rank loader shard (ref: vocoder/train.py:129)."""
+        seed required, same number of ``__iter__`` calls) and yields only its
+        own contiguous slice of each — the Accelerate per-rank loader shard
+        (ref: vocoder/train.py:129)."""
         self.dataset = dataset
         self.hp = hp
+        self.shuffle = shuffle
+        self.drop_last = drop_last
         self.rng = np.random.default_rng(seed)
         if batch_size % process_count:
             raise ValueError(
@@ -168,25 +181,29 @@ class batch_iterator:
             # a trailing short batch shards raggedly across processes and
             # make_array_from_process_local_data rejects mismatched locals
             raise ValueError("process_count > 1 requires drop_last=True")
-        local = batch_size // process_count
-        order = np.arange(len(dataset))
-        if shuffle:
-            self.rng.shuffle(order)
-        batches = [
-            order[i : i + batch_size] for i in range(0, len(order), batch_size)
-        ]
-        if drop_last:
-            batches = [b for b in batches if len(b) == batch_size]
-        self.batches = [
-            b[process_index * local : (process_index + 1) * local]
-            for b in batches
-        ]
+        self.batch_size = batch_size
+        self.local = batch_size // process_count
+        self.process_index = process_index
 
     def __len__(self) -> int:
-        return len(self.batches)
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        for idx in self.batches:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        batches = [
+            order[i : i + self.batch_size]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        lo = self.process_index * self.local
+        for idx in batches:
             yield collate_vocoder(
-                [self.dataset[int(i)] for i in idx], self.hp, self.rng
+                [self.dataset[int(i)] for i in idx[lo : lo + self.local]],
+                self.hp, self.rng,
             )

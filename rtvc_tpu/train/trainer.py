@@ -349,11 +349,15 @@ def train_synthesizer(
             r = 1
 
         # Skip sessions already completed when resuming (the reference keeps
-        # the step inside the model for exactly this, SURVEY.md §5.4)
-        probe = epoch_batches(session_idx, r)
-        steps_per_epoch = len(probe) if hasattr(probe, "__len__") else len(
-            list(probe)
-        )
+        # the step inside the model for exactly this, SURVEY.md §5.4).
+        # Constructed ONCE per session and re-iterated per epoch: each
+        # __iter__ of a batch_iterator draws a fresh shuffle + fresh crops
+        # from its persistent rng — reconstructing it per epoch (same seed)
+        # would feed identical batches every epoch.
+        session_batches = epoch_batches(session_idx, r)
+        if not hasattr(session_batches, "__len__"):
+            session_batches = list(session_batches)
+        steps_per_epoch = len(session_batches)
         n_epochs = int(loops) if epochs_per_session is None else epochs_per_session
         session_steps = max(steps_per_epoch * n_epochs, 1)
         if step - session_start_step >= session_steps:
@@ -381,7 +385,7 @@ def train_synthesizer(
         done = False
         t_last = time.perf_counter()
         for epoch in range(n_epochs):
-            for batch in epoch_batches(session_idx, r):
+            for batch in session_batches:
                 lr = linear_session_lr(
                     init_lr, end_lr, step - session_start_step, session_steps
                 )
@@ -579,10 +583,16 @@ def train_vocoder(
     for session_idx, (loops, init_lr, end_lr, batch_size) in enumerate(
         cfg.voc_tts_schedule
     ):
-        probe = epoch_batches(session_idx)
-        steps_per_epoch = len(probe) if hasattr(probe, "__len__") else len(
-            list(probe)
-        )
+        # Constructed ONCE per session, re-iterated per epoch: each
+        # __iter__ of a batch_iterator draws a fresh shuffle + fresh crops
+        # from its persistent rng. Reconstructing it per epoch (same seed)
+        # feeds IDENTICAL crops every epoch — the model memorizes a handful
+        # of fixed windows (CE→1 on them, chance elsewhere) and free-runs
+        # at ~34 dB MCD.
+        session_batches = epoch_batches(session_idx)
+        if not hasattr(session_batches, "__len__"):
+            session_batches = list(session_batches)
+        steps_per_epoch = len(session_batches)
         n_epochs = max(int(np.ceil(loops)), 1)
         session_steps = max(int(steps_per_epoch * loops), 1)
         if step - session_start_step >= session_steps:
@@ -602,7 +612,7 @@ def train_vocoder(
         done = False
         t_last = time.perf_counter()
         for epoch in range(n_epochs):
-            for batch in epoch_batches(session_idx):
+            for batch in session_batches:
                 if step - session_start_step >= session_steps:
                     break
                 lr = linear_session_lr(
