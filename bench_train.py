@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -31,6 +32,11 @@ def main():
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--stages", default="encoder,tacotron,fwd,fastpitch,wavernn",
                         help="comma list: encoder,tacotron,fwd,fastpitch,wavernn")
+    parser.add_argument("--taco_fused", choices=["auto", "0", "1", "both"],
+                        default="auto",
+                        help="RTVC_FUSED_TACO_TRAIN for the tacotron stage; "
+                             "'both' benches the hoisted scan vs the fused "
+                             "Pallas decoder in one chain (keep-or-kill)")
     args = parser.parse_args()
     stages = set(args.stages.split(","))
 
@@ -136,7 +142,7 @@ def main():
             "stop": jnp.ones((B, frames), jnp.float32),
         }
 
-    def taco_bench(B, r=7):
+    def taco_bench(B, r=7, suffix=""):
         tb = taco_batch(B)
         tv = bundle.variables
 
@@ -151,7 +157,7 @@ def main():
             return (tp, ts_, to)
 
         bench(
-            "tacotron_train",
+            "tacotron_train" + suffix,
             lambda dt: make_tacotron_train_step(d, optimizer, r=r,
                                                 compute_dtype=dt),
             run, f"{B}x896f r={r}",
@@ -160,10 +166,20 @@ def main():
         )
 
     if "tacotron" in stages:
-        taco_bench(112)
-        if args.sweep:
-            for B in (28, 56, 224):
-                taco_bench(B)
+        # RTVC_FUSED_TACO_TRAIN is read at trace time (fused_ok), and every
+        # make_tacotron_train_step call builds a fresh jit closure, so
+        # toggling the env between benches is a valid same-chain ablation.
+        fused_modes = (["0", "1"] if args.taco_fused == "both"
+                       else [args.taco_fused])
+        for fm in fused_modes:
+            if fm != "auto":
+                os.environ["RTVC_FUSED_TACO_TRAIN"] = fm
+            sfx = ({"0": "_scan", "1": "_fused"}[fm]
+                   if args.taco_fused == "both" else "")
+            taco_bench(112, suffix=sfx)
+            if args.sweep:
+                for B in (28, 56, 224):
+                    taco_bench(B, suffix=sfx)
 
     # ---- NAR synthesizers: ForwardTacotron / FastPitch (batch 48) ----------
     def nar_bench(model_type, metric, B=48, T_text=160, dur=5):

@@ -582,9 +582,10 @@ def tacotron_forward(
         w_ctx_t = w_ih[:, :ctx_dim].T
 
         # Fused Pallas decoder chain (weights VMEM-resident across all
-        # steps; custom VJP — ops/pallas/tacotron_train_kernel.py). The
-        # serial attention+RNN chain is the stage's bound (BENCHMARKS.md
-        # batch-scaling curves); env RTVC_FUSED_TACO_TRAIN=1/0/auto.
+        # steps; custom VJP — ops/pallas/tacotron_train_kernel.py).
+        # Opt-in via RTVC_FUSED_TACO_TRAIN=1: at the production shape the
+        # VMEM-forced batch tiling loses to this hoisted scan 0.52×
+        # (measured keep-or-kill, BENCHMARKS.md round-5 lever table).
         if fused is None:
             from rtvc_tpu.ops.pallas import tacotron_train_kernel as ttk
 

@@ -60,16 +60,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 def fused_available() -> bool:
-    """env RTVC_FUSED_TACO_TRAIN: 1/0/auto (auto = TPU backends only)."""
+    """env RTVC_FUSED_TACO_TRAIN: 1/0/auto.
+
+    auto = OFF (measured kill, BENCHMARKS.md round-5 lever table): at the
+    production shape (112×896, r=7, bf16) the backward's attention-memory
+    tiles ((Bt, T, E) enc_seq/denc_seq) force a batch tile of 8 to fit
+    VMEM, which serializes 14 batch tiles through the recurrence —
+    4.92 steps/s vs the hoisted scan's 9.38 (0.52×). The kernel stays
+    correct (grads parity-tested, identical first loss on-chip) and wins
+    at small dims where the whole batch fits one tile; force with =1."""
     mode = os.environ.get("RTVC_FUSED_TACO_TRAIN", "auto")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:  # pragma: no cover
-        return False
+    return mode == "1"
 
 
 def fused_ok(d, E: int) -> bool:
