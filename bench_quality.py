@@ -103,7 +103,13 @@ _TIERS = {
         # pitch+formants → genuinely new voices), trims the encoder budget,
         # and decodes with production-scale folds (ref
         # fatchord_version.py:174 uses 11000/550).
-        tag="real_speech_tpu_v2",
+        # v3 (same corpus/encoder/taco as v2): the v2 run landed the clone
+        # metric (cosine 1.0 vs 0.05 floor) but gt_vocoded_mcd sat at
+        # 27.6 dB — vocoder fidelity, isolated (GT mel in, GT audio as the
+        # reference). v3 raises vocoder capacity (rnn/fc 256→384) and the
+        # schedule (8k→12k steps); quantization is NOT the bottleneck
+        # (mu-law-8 ceiling is 0.6 dB, tests/test_generation_quality.py).
+        tag="real_speech_tpu_v3",
         # spk=6 of the 9 augmented speakers per GE2E batch: the contrastive
         # term sees 5 impostors per anchor instead of 2 (collapse pressure
         # scales with how easy the separation problem is)
@@ -115,10 +121,10 @@ _TIERS = {
             r=2, batch=8, steps=5000, early=500, lr=(1e-3, 1e-4),
         ),
         voc=dict(
-            dims=dict(rnn_dims=256, fc_dims=256, compute_dims=128,
+            dims=dict(rnn_dims=384, fc_dims=384, compute_dims=128,
                       res_out_dims=128, res_blocks=3, bits=9,
                       seq_len=200 * 5),
-            steps=8000, batch=8, lr=(1e-3, 3e-4),
+            steps=12000, batch=8, lr=(1e-3, 3e-4),
         ),
         gen=dict(target=8000, overlap=800),
         augment_speeds=(0.9, 1.1),
